@@ -1,0 +1,26 @@
+"""Numerical core: batched geodesic RHS, integrators, event detection."""
+
+from . import states
+from .states import RayState, init_state
+from .geodesic import (
+    null_init,
+    xdot,
+    schwarzschild_rhs,
+    ks_rhs,
+    hamiltonian,
+)
+from .integrate import (
+    GeodesicEnv,
+    DiskGeom,
+    SphereGeom,
+    IntegratorConfig,
+    integrate,
+    integrate_fixed,
+    integrate_fixed_fast,
+    integrate_adaptive,
+    launch,
+    trajectory,
+    final_direction,
+    rk4_step,
+    dopri_step,
+)
