@@ -1,0 +1,156 @@
+"""Branchless shading -- the reference's per-ray dispatch, vectorized.
+
+The reference routes every ray through Python ifs: capture -> black, disk
+crossing -> Gaussian-profile textured disk, object hit -> emission or
+Lambert, miss -> equirect background, integrator error -> red debug pixel
+(/root/reference/raytracer/RelativisticRenderEngine.py:239-246,
+LimitedRelativisticRenderEngine.py:259-438).  Here each shader runs densely
+over the batch and a status-mask select composes the final color -- no
+divergence, MXU/VPU friendly, fully differentiable.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import states
+from ..ops.states import RayState
+from .scene import Scene
+from .texture import sample_bpy, sample_equirect, sphere_uv_bpy, safe_arccos
+
+Array = jax.Array
+
+# Reference rogue-ray color coding (LimitedRelativisticRenderEngine.py:311-314)
+ERROR_COLOR = jnp.asarray([1.0, 0.0, 0.0])
+BLACK = jnp.zeros(3)
+
+
+def shade_background(scene: Scene, directions: Array) -> Array:
+    """Equirect sky lookup; black when no sky is configured (reference
+    background_hit fallback, RelativisticRenderEngine.py:376-378)."""
+    if scene.background is None:
+        return jnp.zeros(directions.shape[:-1] + (3,))
+    d = directions / jnp.maximum(
+        jnp.linalg.norm(directions, axis=-1, keepdims=True), 1e-20
+    )
+    return sample_equirect(scene.background, d)
+
+
+def shade_disk(scene: Scene, hit_point: Array) -> Array:
+    """Accretion-disk shader, exactly checkHitDisk's model
+    (LimitedRelativisticRenderEngine.py:423-436):
+
+        s         = (R - R_in)/(R_out - R_in)
+        intensity = I * exp(-(s - mean)^2 / (2 stddev^2)) / sqrt(2 pi stddev)
+        tex_x     = (phase + arccos(x/R) * sign(y)) / pi
+        color     = tex(tex_x, s) * intensity
+    """
+    disk = scene.disk
+    x, y = hit_point[..., 0], hit_point[..., 1]
+    rr = jnp.sqrt(x * x + y * y)
+    s = (rr - disk.r_in) / jnp.maximum(disk.r_out - disk.r_in, 1e-20)
+    gauss = jnp.exp(-((s - disk.mean) ** 2) / (2.0 * disk.stddev**2))
+    intensity = disk.intensity * gauss / jnp.sqrt(2.0 * jnp.pi * disk.stddev)
+    sign_y = jnp.where(y >= 0, 1.0, -1.0)
+    tex_x = (disk.phase + safe_arccos(x / jnp.maximum(rr, 1e-20)) * sign_y
+             ) / jnp.pi
+    rgb = sample_bpy(disk.texture, tex_x, s)
+    return rgb * intensity[..., None]
+
+
+def _occluded(scene: Scene, origin: Array, direction: Array, dist: Array,
+              eps: float = 1e-5) -> Array:
+    """Any sphere or the horizon blocks the segment origin -> origin+dir*dist.
+
+    The reference's shadow test is a Blender ray_cast from the hit point with
+    a 1e-5 self-intersection offset (LimitedRelativisticRenderEngine.py:346,
+    370); here it is an analytic occlusion test against the same geometry.
+    """
+    o = origin + direction * eps
+    blocked = jnp.zeros(origin.shape[:-1], bool)
+
+    def seg_hits_sphere(center, radius):
+        oc = o - center
+        b = jnp.sum(oc * direction, axis=-1)
+        c = jnp.sum(oc * oc, axis=-1) - radius * radius
+        disc = b * b - c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t0 = -b - sq
+        return (disc > 0) & (t0 > eps) & (t0 < dist)
+
+    if scene.spheres is not None:
+        k = scene.spheres.center.shape[0]
+        for j in range(k):
+            blocked |= seg_hits_sphere(
+                scene.spheres.center[j], scene.spheres.radius[j]
+            )
+    # horizon sphere of the hole (located at origin of BH frame)
+    rs = 2.0 * scene.bh.mass
+    blocked |= seg_hits_sphere(jnp.zeros(3), rs)
+    return blocked
+
+
+def shade_sphere(scene: Scene, s: RayState) -> Array:
+    """Surface shader: emission spherical-UV texture or Lambert with shadow
+    rays, the reference normal_hit (LimitedRelativisticRenderEngine.py:338-380).
+    Positions are in BH-centered coordinates (the renderer's working frame).
+    """
+    sph = scene.spheres
+    obj = jnp.clip(s.hit_obj, 0, sph.center.shape[0] - 1)
+    center = sph.center[obj]
+    normal = s.hit_normal
+
+    # --- emission branch: spherical UV from the object-local normal ------
+    # Sample each of the K textures densely and select by object id: K is
+    # small (a few moons), so K cheap bilinear gathers beat one giant
+    # per-ray texture gather.
+    ph, th = sphere_uv_bpy(normal)
+    k_count = sph.texture.shape[0]
+    emission_rgb = jnp.zeros(normal.shape[:-1] + (3,))
+    for j in range(k_count):
+        rgb_j = sample_bpy(sph.texture[j], ph, th)
+        emission_rgb = jnp.where((obj == j)[..., None], rgb_j, emission_rgb)
+
+    # --- Lambert branch (reference quirk kept: intensity enters twice) ----
+    if scene.lights is not None:
+        base = sph.albedo[obj] * scene.lights.intensity
+        color = jnp.zeros(normal.shape[:-1] + (3,))
+        for j in range(scene.lights.position.shape[0]):
+            lp = scene.lights.position[j]
+            lv = lp - s.hit_point
+            d2 = jnp.sum(lv * lv, axis=-1)
+            ld = lv / jnp.maximum(jnp.sqrt(d2)[..., None], 1e-20)
+            ndotl = jnp.sum(normal * ld, axis=-1)
+            shadow = _occluded(scene, s.hit_point, ld, jnp.sqrt(d2))
+            vis = jnp.where(shadow, 0.0, 1.0)
+            color = color + base * (
+                scene.lights.intensity * vis * jnp.maximum(ndotl, 0.0) / d2
+            )[..., None]
+        lambert_rgb = color
+    else:
+        lambert_rgb = jnp.zeros(normal.shape[:-1] + (3,))
+
+    w = sph.emission[obj][..., None]
+    return w * emission_rgb + (1.0 - w) * lambert_rgb
+
+
+def shade(scene: Scene, s: RayState, end_dir: Array) -> Array:
+    """Compose the final per-ray RGB from the termination taxonomy.
+
+    Reference dispatch (RelativisticRenderEngine.py:239-246 +
+    LimitedRelativisticRenderEngine.py:283-335): disk > capture-black >
+    error-red > object > background.
+    """
+    st = s.status
+    color = shade_background(scene, end_dir)  # ESCAPED and BUDGET
+    if scene.disk is not None:
+        disk_rgb = shade_disk(scene, s.hit_point)
+        color = jnp.where((st == states.DISK)[..., None], disk_rgb, color)
+    if scene.spheres is not None:
+        obj_rgb = shade_sphere(scene, s)
+        color = jnp.where((st == states.OBJECT)[..., None], obj_rgb, color)
+    black = (st == states.CAPTURED) | (st == states.INSIDE_HORIZON)
+    color = jnp.where(black[..., None], BLACK, color)
+    color = jnp.where((st == states.ERROR)[..., None], ERROR_COLOR, color)
+    return color

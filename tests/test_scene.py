@@ -1,0 +1,119 @@
+"""Texture, camera and shading unit tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from blackhole_geodesic_calculator_tpu.scene import (
+    sample_bpy,
+    sample_equirect,
+    Scene,
+    BlackHole,
+    Disk,
+    shade_disk,
+)
+from blackhole_geodesic_calculator_tpu.camera import (
+    Camera,
+    euler_matrix,
+    generate_rays,
+    pixel_grid,
+)
+
+
+def test_sample_constant_texture():
+    tex = jnp.full((8, 16, 3), 0.25)
+    x = jnp.linspace(-1, 1, 13)
+    y = jnp.linspace(-1, 1, 13)
+    out = sample_bpy(tex, x, y)
+    np.testing.assert_allclose(np.asarray(out), 0.25, atol=1e-6)
+
+
+def test_sample_bilinear_and_wrap():
+    # 1x2 texture: left pixel 0, right pixel 1 -> sampling wraps in x
+    tex = jnp.asarray([[[0.0], [1.0]]])
+    # pixel centers: x=-0.5 -> texel 0, x=0.5 -> texel 1
+    v = sample_bpy(tex, jnp.asarray([-0.5, 0.5, 0.0]), jnp.zeros(3))
+    np.testing.assert_allclose(np.asarray(v[:, 0]), [0.0, 1.0, 0.5], atol=1e-6)
+    # wrap: x=1.0 is halfway between texel 1 and texel 0 again
+    v = sample_bpy(tex, jnp.asarray([1.0]), jnp.zeros(1))
+    np.testing.assert_allclose(np.asarray(v[0, 0]), 0.5, atol=1e-6)
+
+
+def test_equirect_poles_and_equator():
+    """North pole (+z) must read the top image row; -x direction the
+    wrap seam; mapping per RelativisticRenderEngine.py:373-375."""
+    h, w = 8, 16
+    rows = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None, None],
+                            (h, w, 1))
+    tex = rows / (h - 1)  # 0 at top row, 1 at bottom row
+    up = sample_equirect(tex, jnp.asarray([0.0, 0.0, 1.0]))
+    down = sample_equirect(tex, jnp.asarray([0.0, 0.0, -1.0]))
+    assert float(up[0]) < 0.1 and float(down[0]) > 0.9
+    mid = sample_equirect(tex, jnp.asarray([1.0, 0.0, 0.0]))
+    np.testing.assert_allclose(float(mid[0]), 0.5, atol=0.1)
+
+
+def test_euler_matrix_is_blender_xyz():
+    # Rx(90deg) carries -z to +y (camera pitched up to the horizon)
+    r = euler_matrix(jnp.asarray([jnp.pi / 2, 0.0, 0.0]))
+    np.testing.assert_allclose(np.asarray(r @ jnp.asarray([0.0, 0.0, -1.0])),
+                               [0.0, 1.0, 0.0], atol=1e-6)
+    # composition order: R = Rz @ Ry @ Rx
+    e = jnp.asarray([0.3, -0.2, 0.9])
+    rx = euler_matrix(jnp.asarray([e[0], 0, 0]))
+    ry = euler_matrix(jnp.asarray([0, e[1], 0]))
+    rz = euler_matrix(jnp.asarray([0, 0, e[2]]))
+    np.testing.assert_allclose(np.asarray(euler_matrix(e)),
+                               np.asarray(rz @ ry @ rx), atol=1e-6)
+
+
+def test_generate_rays_reference_model():
+    """Center pixel looks down -z; offsets scale with fov/W like the
+    reference NDC (RelativisticRenderEngine.py:224-225)."""
+    cam = Camera.make(position=(1.0, 2.0, 3.0), fov=(1.0, 1.0))
+    w = h = 64
+    ys, xs = pixel_grid(w, h)
+    o, d = generate_rays(cam, w, h, ys, xs, key=None)
+    assert d.shape == (h, w, 3)
+    np.testing.assert_allclose(np.asarray(o[0, 0]), [1.0, 2.0, 3.0], atol=1e-6)
+    # center pixel: x = W//2 -> x_render = 0
+    np.testing.assert_allclose(np.asarray(d[h // 2, w // 2]), [0, 0, -1],
+                               atol=1e-6)
+    # one pixel right of center: angle ~ fov/W
+    dc = np.asarray(d[h // 2, w // 2 + 1])
+    np.testing.assert_allclose(dc[0], 1.0 / w, atol=1e-3)
+    # unit norm everywhere
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(d), axis=-1), 1.0,
+                               atol=1e-6)
+
+
+def test_jitter_stays_in_pixel_and_is_seeded():
+    cam = Camera.make(position=(0.0, 0.0, 0.0), fov=(1.0, 1.0))
+    w = h = 16
+    ys, xs = pixel_grid(w, h)
+    k = jax.random.PRNGKey(42)
+    _, d1 = generate_rays(cam, w, h, ys, xs, key=k)
+    _, d2 = generate_rays(cam, w, h, ys, xs, key=k)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2))  # deterministic
+    _, d0 = generate_rays(cam, w, h, ys, xs, key=None)
+    # jitter moves directions by at most ~ a pixel
+    assert float(jnp.abs(d1 - d0).max()) < 2.0 / w
+    assert float(jnp.abs(d1 - d0).max()) > 0.0
+
+
+def test_disk_shader_formula():
+    """Gaussian radial profile exactly as checkHitDisk
+    (LimitedRelativisticRenderEngine.py:427-434)."""
+    tex = jnp.ones((4, 8, 3))
+    scene = Scene(
+        bh=BlackHole.make(),
+        disk=Disk.make(r_in=2.0, r_out=6.0, texture=tex, phase=0.3,
+                       mean=0.5, stddev=0.2, intensity=2.0),
+    )
+    pt = jnp.asarray([[3.0, 1.0, 0.0]])
+    rgb = np.asarray(shade_disk(scene, pt))[0]
+    rr = np.sqrt(10.0)
+    s = (rr - 2.0) / 4.0
+    expect = 2.0 * np.exp(-((s - 0.5) ** 2) / (2 * 0.2**2)) / np.sqrt(
+        2 * np.pi * 0.2)
+    np.testing.assert_allclose(rgb, expect, rtol=1e-5)
