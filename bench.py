@@ -1,0 +1,109 @@
+"""Headline benchmark: geodesic rays/s, forward+backward, 1024x1024.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+The measured program is the BASELINE.json flagship config: a 1024x1024
+Schwarzschild render (HDRI sky background) differentiated w.r.t. black-hole
+mass, camera position and the sky texture -- i.e. one full
+value_and_grad(render) step, which is the unit of work of both inverse
+rendering and animation fitting.  rays/s = H*W / wall_seconds per step.
+``vs_baseline`` is the ratio to the driver-set north-star of 10M rays/s
+fwd+bwd per chip (BASELINE.md); the reference itself publishes no numbers
+(its structural bound is one scipy solve_ivp per pixel in a serial Python
+loop, O(1-100 ms)/ray -- SURVEY.md §6).
+
+Usage: python bench.py [--size N] [--steps K] [--repeat R] [--fwd-only]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=1024)
+    ap.add_argument("--steps", type=int, default=256,
+                    help="RK4 integration steps per ray")
+    ap.add_argument("--repeat", type=int, default=5)
+    ap.add_argument("--fwd-only", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from blackhole_geodesic_calculator_tpu.camera import Camera
+    from blackhole_geodesic_calculator_tpu.ops import IntegratorConfig
+    from blackhole_geodesic_calculator_tpu.render import (
+        RenderConfig, render_image,
+    )
+    from blackhole_geodesic_calculator_tpu.scene import BlackHole, Scene
+
+    n = args.size
+    h, w = 256, 512
+    v, u = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    sky = jnp.asarray(
+        np.stack(
+            [
+                0.5 + 0.5 * np.sin(2 * np.pi * u / w) * np.sin(np.pi * v / h),
+                v / h,
+                ((u // 16 + v // 16) % 2).astype(np.float32),
+            ],
+            -1,
+        ),
+        jnp.float32,
+    )
+    cfg = RenderConfig(
+        width=n, height=n, samples=1,
+        integrator=IntegratorConfig(n_steps=args.steps, dt=0.1, dt_boost=8.0),
+        lam_max=100.0,
+    )
+    cam = Camera.make(position=(0.0, 0.0, 25.0), fov=(0.8, 0.8))
+
+    def forward(mass, cam_pos, tex):
+        import dataclasses
+        scene = Scene(bh=BlackHole.make(mass=0.0), background=tex)
+        scene = dataclasses.replace(
+            scene, bh=dataclasses.replace(scene.bh, mass=mass))
+        c = dataclasses.replace(cam, position=cam_pos)
+        img = render_image(scene, c, cfg)
+        return jnp.mean(img[..., :3] ** 2)
+
+    params = (jnp.asarray(0.5), cam.position, sky)
+    if args.fwd_only:
+        step = jax.jit(forward)
+    else:
+        step = jax.jit(jax.grad(forward, argnums=(0, 1, 2)))
+
+    # compile + warmup
+    out = step(*params)
+    jax.block_until_ready(out)
+
+    times = []
+    for _ in range(args.repeat):
+        t0 = time.perf_counter()
+        out = step(*params)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    rays_per_s = n * n / best
+
+    metric = "geodesic_rays_per_s" + ("_fwd" if args.fwd_only else "_fwd_bwd")
+    print(json.dumps({
+        "metric": f"{metric}_{n}x{n}",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / 1e7, 4),
+    }))
+    print(
+        f"# device={jax.devices()[0].device_kind} best={best*1e3:.1f} ms "
+        f"times_ms={[round(t*1e3,1) for t in times]} steps={args.steps}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

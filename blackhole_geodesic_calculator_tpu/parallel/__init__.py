@@ -1,0 +1,16 @@
+"""Distributed/parallel layer: device meshes, sharded rendering, training.
+
+The reference has no distributed runtime (SURVEY.md §2.2); this package is
+the TPU-native replacement: jax.sharding meshes, ray-sharded SPMD rendering
+with load-balancing shuffle, sample-axis parallel multisampling, and
+gradient-all-reduced training steps.
+"""
+
+from .mesh import make_mesh, ray_sharding, replicated, RAY_AXIS, SAMPLE_AXIS
+from .render import render_image_sharded
+from .train import Trainer, default_loss
+
+__all__ = [
+    "make_mesh", "ray_sharding", "replicated", "RAY_AXIS", "SAMPLE_AXIS",
+    "render_image_sharded", "Trainer", "default_loss",
+]

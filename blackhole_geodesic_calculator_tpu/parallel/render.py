@@ -1,0 +1,116 @@
+"""Multi-device sharded rendering.
+
+Replaces the reference's absent parallel runtime (SURVEY.md §2.2: an
+abandoned ``mp.Pool`` block at
+/root/reference/raytracer/RelativisticRenderEngine.py:210-216 and per-frame
+cluster job farming) with SPMD over a ``jax.sharding.Mesh``:
+
+* the flat pixel batch is sharded over the ``rays`` mesh axis;
+* multisample jitters are sharded over the ``samples`` axis and reduced with
+  one ``psum``-backed mean;
+* scene/camera parameters are replicated (they are a few KB);
+* a **load-balancing shuffle**: cost per ray is wildly nonuniform (shadow
+  rays capture in a few steps, photon-sphere grazers need thousands --
+  reference ``nr_points_curve=10000``), so pixels are dealt round-robin
+  across shards before the solve and unpermuted after.  Contiguous row
+  blocks would make the shard containing the photon ring the straggler.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..camera.pinhole import Camera
+from ..render.renderer import RenderConfig, render_rays
+from ..scene.scene import Scene
+from .mesh import RAY_AXIS, SAMPLE_AXIS, make_mesh
+
+Array = jax.Array
+
+
+def _flat_pixels(cfg: RenderConfig, n_shards: int):
+    """Flattened (ys, xs) of the crop window, dealt round-robin over shards
+    and padded so every shard gets the same count.  Returns (ys, xs, perm,
+    n_valid) -- ``perm[i]`` is the flat crop-pixel index that ray slot i
+    serves, so colors scatter back with ``out.at[perm].set(rgb)``."""
+    x0, x1, y0, y1 = cfg.crop()
+    hc, wc = y1 - y0, x1 - x0
+    n = hc * wc
+    pad = (-n) % n_shards
+    total = n + pad
+    # Round-robin deal: slot (s, j) -> pixel j * n_shards + s.  Neighboring
+    # pixels (similar geodesic cost) land on different shards.
+    slot = jnp.arange(total)
+    perm = (slot % (total // n_shards)) * n_shards + slot // (total // n_shards)
+    perm = jnp.where(perm < n, perm, 0)  # padding slots re-trace pixel 0
+    ys = y0 + perm // wc
+    xs = x0 + perm % wc
+    return ys, xs, perm, n
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "n_shards"),
+)
+def _render_flat_mean(scene, cam, cfg: RenderConfig, keys, ys, xs, n_shards):
+    """Mean over the (sharded) sample axis of flat-ray renders."""
+    if keys is None:
+        return render_rays(scene, cam, cfg, ys, xs, None)
+    rgb = jax.vmap(lambda k: render_rays(scene, cam, cfg, ys, xs, k))(keys)
+    return jnp.mean(rgb, axis=0)
+
+
+def render_image_sharded(
+    scene: Scene,
+    cam: Camera,
+    cfg: RenderConfig,
+    mesh: Mesh | None = None,
+    key: Array | None = None,
+) -> Array:
+    """Full multisampled render on a device mesh -> (H, W, 4) RGBA.
+
+    Pixel-exact with the single-device ``render_image`` for samples == 1
+    (same pixel-center rays, same integrator); multisample jitters differ
+    only in RNG fan-out order.
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    n_ray = mesh.shape[RAY_AXIS]
+    n_smp = mesh.shape[SAMPLE_AXIS]
+    if cfg.samples % n_smp != 0:
+        raise ValueError(
+            f"samples={cfg.samples} must be a multiple of the mesh "
+            f"'{SAMPLE_AXIS}' extent {n_smp}"
+        )
+
+    ys, xs, perm, n_valid = _flat_pixels(cfg, n_ray)
+    shard = NamedSharding(mesh, P(RAY_AXIS))
+    repl = NamedSharding(mesh, P())
+    ys = jax.device_put(ys, shard)
+    xs = jax.device_put(xs, shard)
+    scene = jax.device_put(scene, repl)
+    cam = jax.device_put(cam, repl)
+
+    if cfg.samples == 1 and key is None:
+        keys = None
+    else:
+        if key is None:
+            key = jax.random.PRNGKey(cfg.seed)
+        keys = jax.device_put(
+            jax.random.split(key, cfg.samples),
+            NamedSharding(mesh, P(SAMPLE_AXIS)),
+        )
+
+    rgb = _render_flat_mean(scene, cam, cfg, keys, ys, xs, n_ray)
+
+    # Host-side framebuffer assembly (the reference's progressive buffer
+    # write, RelativisticRenderEngine.py:162): unpermute and fill the frame.
+    x0, x1, y0, y1 = cfg.crop()
+    hc, wc = y1 - y0, x1 - x0
+    flat = jnp.zeros((hc * wc, 3), rgb.dtype).at[perm].set(rgb)
+    full = jnp.ones((cfg.height, cfg.width, 4), rgb.dtype)
+    return full.at[y0:y1, x0:x1, :3].set(flat.reshape(hc, wc, 3))

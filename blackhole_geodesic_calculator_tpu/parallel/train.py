@@ -1,0 +1,137 @@
+"""Sharded differentiable-rendering optimization (inverse rendering).
+
+The reference renders forward only; this framework's headline extension is
+fitting physical scene parameters (BH mass, camera pose, textures, disk
+profile) to target images by gradient descent through the renderer
+(BASELINE.md: "differentiable camera+mass" config).  The training step is
+one jitted SPMD program:
+
+* rays and the target image are sharded over the ``rays`` mesh axis,
+  multisample jitters over ``samples``;
+* scene/camera parameters are replicated, so their gradients are
+  all-reduced by XLA (psum over both mesh axes) -- the gradient all-reduce
+  the reference never had, riding ICI and overlapped with the backward pass
+  by the XLA scheduler.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..camera.pinhole import Camera
+from ..render.renderer import RenderConfig, render_rays
+from ..scene.scene import Scene
+from .mesh import RAY_AXIS, SAMPLE_AXIS, make_mesh
+from .render import _flat_pixels
+
+Array = jax.Array
+
+
+def default_loss(rendered: Array, target: Array) -> Array:
+    """Mean-squared pixel error over the flat ray batch (N, 3)."""
+    return jnp.mean((rendered - target) ** 2)
+
+
+@dataclasses.dataclass
+class Trainer:
+    """Optimizes a pytree of (scene, camera) parameters against targets.
+
+    ``param_fn(params) -> (scene, cam)`` rebuilds the scene from the learned
+    pytree, so callers choose what is trainable (mass only, camera pose,
+    full texture, ...) by how they close over frozen parts.
+
+    Fitting guidance: use ``cfg.samples >= 4`` (jittered pixel-area
+    integration) plus gradient clipping (e.g. ``optax.chain(
+    optax.clip_by_global_norm(1.0), optax.adam(...))``).  Pointwise
+    pixel-center gradients are exact but pathological near the critical
+    curve -- the exit direction of a near-critical ray spins with the
+    parameters, so the single-ray loss derivative oscillates with huge
+    magnitude and random sign while the *pixel-integrated* intensity is
+    smooth.  Jittered multisampling is the Monte-Carlo estimator of that
+    smooth derivative; clipping tames the heavy tail from samples that land
+    exceptionally close to the critical curve.
+    """
+
+    cfg: RenderConfig
+    param_fn: Callable[[Any], tuple[Scene, Camera]]
+    optimizer: optax.GradientTransformation
+    loss_fn: Callable[[Array, Array], Array] = default_loss
+    mesh: Mesh | None = None
+
+    def __post_init__(self):
+        if self.mesh is None:
+            self.mesh = make_mesh()
+        self._n_ray = self.mesh.shape[RAY_AXIS]
+        self._n_smp = self.mesh.shape[SAMPLE_AXIS]
+        if self.cfg.samples % self._n_smp != 0:
+            raise ValueError(
+                f"samples={self.cfg.samples} not divisible by mesh "
+                f"'{SAMPLE_AXIS}' extent {self._n_smp}"
+            )
+        self._shard = NamedSharding(self.mesh, P(RAY_AXIS))
+        self._repl = NamedSharding(self.mesh, P())
+        self._jit_step = jax.jit(self._step)
+
+    def init(self, params):
+        return jax.device_put(self.optimizer.init(params), self._repl)
+
+    def shard_target(self, target_image: Array):
+        """(H, W, 3) target -> flat sharded (N, 3) in ray-slot order."""
+        ys, xs, perm, _ = _flat_pixels(self.cfg, self._n_ray)
+        x0, x1, y0, y1 = self.cfg.crop()
+        flat = target_image[y0:y1, x0:x1, :3].reshape(-1, 3)[perm]
+        return (
+            jax.device_put(flat, self._shard),
+            jax.device_put(ys, self._shard),
+            jax.device_put(xs, self._shard),
+        )
+
+    def step(self, params, opt_state, target_flat, ys, xs, key):
+        """One jitted optimization step; returns (params, opt_state, loss)."""
+        return self._jit_step(params, opt_state, target_flat, ys, xs, key)
+
+    def _step(self, params, opt_state, target_flat, ys, xs, key):
+
+        def loss_of(p):
+            scene, cam = self.param_fn(p)
+            if self.cfg.samples == 1:
+                rgb = render_rays(scene, cam, self.cfg, ys, xs, None)
+            else:
+                keys = jax.random.split(key, self.cfg.samples)
+                rgb = jnp.mean(
+                    jax.vmap(
+                        lambda k: render_rays(scene, cam, self.cfg, ys, xs, k)
+                    )(keys),
+                    axis=0,
+                )
+            return self.loss_fn(rgb, target_flat)
+
+        loss, grads = jax.value_and_grad(loss_of)(params)
+        updates, opt_state = self.optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    def fit(self, params, target_image: Array, n_steps: int,
+            key: Array | None = None, log_every: int = 0):
+        """Full loop: shard once, step ``n_steps`` times."""
+        if key is None:
+            key = jax.random.PRNGKey(self.cfg.seed)
+        target_flat, ys, xs = self.shard_target(target_image)
+        params = jax.device_put(params, self._repl)
+        opt_state = self.init(params)
+        losses = []
+        for i in range(n_steps):
+            key, sub = jax.random.split(key)
+            params, opt_state, loss = self.step(
+                params, opt_state, target_flat, ys, xs, sub
+            )
+            losses.append(float(loss))
+            if log_every and i % log_every == 0:
+                print(f"step {i:5d}  loss {losses[-1]:.6e}")
+        return params, losses

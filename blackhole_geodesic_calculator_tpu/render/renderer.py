@@ -115,11 +115,17 @@ def _bh_frame(scene: Scene) -> Scene:
     return dataclasses.replace(scene, spheres=spheres, lights=lights)
 
 
-def render_sample(scene: Scene, cam: Camera, cfg: RenderConfig,
-                  key: Array | None) -> Array:
-    """One jittered sample of the (cropped) image; returns (Hc, Wc, 3)."""
-    x0, x1, y0, y1 = cfg.crop()
-    ys, xs = pixel_grid(cfg.width, cfg.height, x0, x1, y0, y1)
+def render_rays(scene: Scene, cam: Camera, cfg: RenderConfig,
+                ys: Array, xs: Array, key: Array | None = None) -> Array:
+    """Shade the rays through pixels (ys, xs) -- any shape, typically a
+    (Hc, Wc) grid or a flat sharded (N,) batch.  Returns ys.shape + (3,).
+
+    This is the whole reference pipeline -- camera ray, geodesic cast,
+    dispatch, shade (RelativisticRenderEngine.py:218-250) -- as one pure
+    batched function of pixel coordinates, which is what makes ray sharding
+    trivial: shard (ys, xs), replicate (scene, cam), and XLA partitions the
+    entire program with zero communication.
+    """
     origin, d = generate_rays(cam, cfg.width, cfg.height, ys, xs, key)
 
     env = scene_env(scene, cfg, cam)
@@ -129,6 +135,14 @@ def render_sample(scene: Scene, cam: Camera, cfg: RenderConfig,
     s = launch(env, o_rel, d, cfg.integrator)
     end_dir = final_direction(env, s)
     return shade(scene_bh, s, end_dir)
+
+
+def render_sample(scene: Scene, cam: Camera, cfg: RenderConfig,
+                  key: Array | None) -> Array:
+    """One jittered sample of the (cropped) image; returns (Hc, Wc, 3)."""
+    x0, x1, y0, y1 = cfg.crop()
+    ys, xs = pixel_grid(cfg.width, cfg.height, x0, x1, y0, y1)
+    return render_rays(scene, cam, cfg, ys, xs, key)
 
 
 def render_image(scene: Scene, cam: Camera, cfg: RenderConfig,
