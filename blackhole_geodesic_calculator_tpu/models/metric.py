@@ -107,6 +107,9 @@ class Metric:
         a = g[0, 0]
         b = 2.0 * jnp.dot(g[0, 1:], k3)
         c = jnp.dot(k3, g[1:, 1:] @ k3)
-        disc = jnp.sqrt(jnp.maximum(b * b - 4.0 * a * c, 0.0))
+        d2 = b * b - 4.0 * a * c
+        # guarded sqrt keeps the jacobian finite when clamped (see
+        # ops/integrate._sphere_events)
+        disc = jnp.sqrt(jnp.where(d2 > 0, d2, 1.0)) * (d2 > 0)
         # a < 0 outside horizon -> the "+" root over 2a is the positive one
         return (-b - disc) / (2.0 * a)

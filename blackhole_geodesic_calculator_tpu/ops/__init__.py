@@ -9,6 +9,7 @@ from .geodesic import (
     ks_rhs,
     hamiltonian,
 )
+from .pallas_kernel import integrate_pallas
 from .integrate import (
     GeodesicEnv,
     DiskGeom,

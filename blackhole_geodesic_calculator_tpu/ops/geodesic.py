@@ -73,7 +73,11 @@ def null_init(x3: Array, d: Array, mass, a=None) -> tuple[Array, Array]:
     """
     q, l3, _ = ks_fields(x3, mass, a)
     s = jnp.sum(l3 * d, axis=-1)
-    E = jnp.sqrt(jnp.maximum(1.0 - q * (1.0 - s * s), 0.0))
+    # The argument is positive outside the horizon; the guard (instead of a
+    # bare max) keeps the jacobian finite for inside-horizon rays whose
+    # zero cotangents would otherwise turn into NaN (0 * inf).
+    e2 = 1.0 - q * (1.0 - s * s)
+    E = jnp.sqrt(jnp.where(e2 > 0, e2, 1.0)) * (e2 > 0)
     w = (E + s) / (1.0 - q)
     p = d + (q * w)[..., None] * l3
     return p, E

@@ -98,6 +98,9 @@ class IntegratorConfig:
     dt: float = 0.1
     method: str = "rk4"          # 'rk4' | 'dopri'
     mode: str = "scan"           # 'scan' (differentiable) | 'while' (fast fwd)
+    # 'auto': fused Pallas kernels on TPU (forward + checkpointed-adjoint
+    # backward), XLA scan elsewhere; 'scan' / 'pallas' force a path.
+    backend: str = "auto"
     remat_segment: int = 0       # 0 -> sqrt(n_steps); 1 -> no remat
     # Per-ray radius-proportional step growth: far from the hole curvature
     # ~ M/r^2 is tiny, so steps can stretch.  dt_eff = dt*clip(r/r_ref, 1, boost)
@@ -201,7 +204,7 @@ def _disk_event(env: GeodesicEnv, x0, x1):
 
 
 def _sphere_events(env: GeodesicEnv, x0, x1):
-    """Earliest sphere intersection on the segment; (t or inf, point, normal, id).
+    """Earliest sphere intersection on the segment; (t or inf, point, id).
 
     Replaces the reference's Blender BVH ``scene.ray_cast`` calls
     (LimitedRelativisticRenderEngine.py:224,319) with analytic
@@ -215,18 +218,21 @@ def _sphere_events(env: GeodesicEnv, x0, x1):
     bb = 2.0 * jnp.sum(o * d, axis=-1)
     cc = jnp.sum(o * o, axis=-1) - rad * rad
     disc = bb * bb - 4.0 * aa * cc
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # sqrt(max(disc, 0)) has a 0*inf = NaN jacobian exactly where clamped
+    # (all missing rays); guard the unselected branch so zero cotangents
+    # stay zero instead of poisoning shared parameters.
+    sq = jnp.sqrt(jnp.where(disc > 0, disc, 1.0))
     t = (-bb - sq) / jnp.where(aa > 0, 2.0 * aa, 1.0)
     valid = (disc > 0) & (t >= 0.0) & (t <= 1.0)
     t = jnp.where(valid, t, _INF)           # (..., K)
     k_best = jnp.argmin(t, axis=-1)
     t_best = jnp.min(t, axis=-1)
-    pt = x0 + (x1 - x0) * t_best[..., None]
-    c_best = c[k_best]
-    n = pt - c_best
-    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+    # Guard the miss branch: x0 + 0*inf is NaN forward and NaN-jacobian
+    # backward even under a zero cotangent (which is dense, not symbolic).
+    t_pt = jnp.where(jnp.isfinite(t_best), t_best, 0.0)
+    pt = x0 + (x1 - x0) * t_pt[..., None]
     obj = jnp.where(jnp.isfinite(t_best), k_best, -1).astype(jnp.int32)
-    return t_best, pt, n, obj
+    return t_best, pt, obj
 
 
 def _apply_events(env: GeodesicEnv, s: RayState, x1, p1, dt) -> RayState:
@@ -239,7 +245,7 @@ def _apply_events(env: GeodesicEnv, s: RayState, x1, p1, dt) -> RayState:
         t_disk, disk_pt = _disk_event(env, s.x, x1)
     t_sph = _INF
     if env.spheres is not None:
-        t_sph, sph_pt, sph_n, sph_obj = _sphere_events(env, s.x, x1)
+        t_sph, sph_pt, sph_obj = _sphere_events(env, s.x, x1)
 
     # --- endpoint events ------------------------------------------------
     r1 = env.radius(x1)
@@ -268,6 +274,9 @@ def _apply_events(env: GeodesicEnv, s: RayState, x1, p1, dt) -> RayState:
     status = jnp.where(active, status, s.status)
 
     # --- merge (frozen rays keep their state; never store non-finite) ----
+    # Event rays freeze AT the interpolated event point: x becomes the
+    # crossing location and lam gets the fractional step, so shading inputs
+    # are functions of (x, p) alone (see RayState docstring).
     upd = (active & finite)[..., None]
     new = dataclasses.replace(
         s,
@@ -276,14 +285,17 @@ def _apply_events(env: GeodesicEnv, s: RayState, x1, p1, dt) -> RayState:
         lam=jnp.where(active, lam1, s.lam),
         status=status,
     )
-    if env.disk is not None:
-        sel = active & (status == states.DISK)
-        new.hit_point = jnp.where(sel[..., None], disk_pt, new.hit_point)
     if env.spheres is not None:
         sel = active & (status == states.OBJECT)
-        new.hit_point = jnp.where(sel[..., None], sph_pt, new.hit_point)
-        new.hit_normal = jnp.where(sel[..., None], sph_n, new.hit_normal)
+        ts = jnp.where(jnp.isfinite(t_sph), t_sph, 0.0)
+        new.x = jnp.where(sel[..., None], sph_pt, new.x)
+        new.lam = jnp.where(sel, s.lam + dt * ts, new.lam)
         new.hit_obj = jnp.where(sel, sph_obj, new.hit_obj)
+    if env.disk is not None:
+        sel = active & (status == states.DISK)
+        td = jnp.where(jnp.isfinite(t_disk), t_disk, 0.0)
+        new.x = jnp.where(sel[..., None], disk_pt, new.x)
+        new.lam = jnp.where(sel, s.lam + dt * td, new.lam)
     return new
 
 
@@ -388,9 +400,23 @@ def integrate_adaptive(env: GeodesicEnv, s0: RayState, cfg: IntegratorConfig):
     return s, nacc
 
 
+def _use_pallas(env, cfg: IntegratorConfig) -> bool:
+    if cfg.backend == "pallas":
+        return True
+    if cfg.backend != "auto":
+        return False
+    if cfg.method != "rk4" or env.spin is not None:
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def integrate(env: GeodesicEnv, s0: RayState, cfg: IntegratorConfig) -> RayState:
     if cfg.method == "dopri":
         return integrate_adaptive(env, s0, cfg)[0]
+    if _use_pallas(env, cfg):
+        from .pallas_kernel import integrate_pallas
+
+        return integrate_pallas(env, s0, cfg)
     if cfg.mode == "while":
         return integrate_fixed_fast(env, s0, cfg)
     return integrate_fixed(env, s0, cfg)

@@ -34,12 +34,18 @@ ERROR = 7         # non-finite state: rendered as red, like ref 'Outside' rays
 class RayState:
     """Structure-of-arrays state for a batch of rays; all leaves share (...,).
 
-    x, p        : position / spatial covariant momentum, (..., 3)
+    x, p        : position / spatial covariant momentum, (..., 3).
+                  For DISK/OBJECT rays ``x`` IS the event point: the
+                  integrator freezes the ray at the interpolated crossing
+                  (not at the post-step state), so every geometric shading
+                  input -- disk radius/azimuth, sphere normal
+                  normalize(x - center) -- is a differentiable function of
+                  (x, p) alone and the whole gradient surface of the
+                  integrator is just (x-bar, p-bar).
     E           : conserved energy -p_t, set once by the null condition
-    lam         : accumulated affine parameter (ref: curve length)
+    lam         : accumulated affine parameter (ref: curve length);
+                  event rays get the interpolated fraction of the last step
     status      : termination taxonomy above
-    hit_point   : event location (disk crossing / sphere hit point), (..., 3)
-    hit_normal  : surface normal at a sphere hit, (..., 3)
     hit_obj     : sphere index for OBJECT hits, else -1
     """
 
@@ -48,13 +54,23 @@ class RayState:
     E: Array
     lam: Array
     status: Array
-    hit_point: Array
-    hit_normal: Array
     hit_obj: Array
 
     @property
     def active(self) -> Array:
         return self.status == ACTIVE
+
+    def hit_normal(self, centers: Array) -> Array:
+        """Outward unit normal at a sphere hit: normalize(x - center[obj]).
+
+        Derived, not stored: keeps the integrator carry minimal and the
+        normal exactly consistent with the differentiable hit point.
+        """
+        obj = jnp.clip(self.hit_obj, 0, centers.shape[0] - 1)
+        n = self.x - centers[obj]
+        return n / jnp.maximum(
+            jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20
+        )
 
 
 def init_state(x0: Array, p0: Array, E: Array) -> RayState:
@@ -66,7 +82,5 @@ def init_state(x0: Array, p0: Array, E: Array) -> RayState:
         E=E,
         lam=jnp.zeros(batch, dtype),
         status=jnp.zeros(batch, jnp.int32),
-        hit_point=jnp.zeros(batch + (3,), dtype),
-        hit_normal=jnp.zeros(batch + (3,), dtype),
         hit_obj=jnp.full(batch, -1, jnp.int32),
     )

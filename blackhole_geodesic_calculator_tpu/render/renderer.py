@@ -145,18 +145,8 @@ def render_sample(scene: Scene, cam: Camera, cfg: RenderConfig,
     return render_rays(scene, cam, cfg, ys, xs, key)
 
 
-def render_image(scene: Scene, cam: Camera, cfg: RenderConfig,
-                 key: Array | None = None) -> Array:
-    """Full multisampled render -> (H, W, 4) RGBA in [0, 1]-ish HDR.
-
-    Uncropped pixels are white with alpha 1, matching the reference's
-    ones-initialized framebuffer (RelativisticRenderEngine.py:154).
-    Sample jitter follows the reference convention: the multisample average
-    over uniform +-half-pixel offsets (:227, :250).
-    """
-    if key is None:
-        key = jax.random.PRNGKey(cfg.seed)
-
+def _render_image_impl(scene: Scene, cam: Camera, cfg: RenderConfig,
+                       key: Array) -> Array:
     if cfg.samples == 1:
         rgb = render_sample(scene, cam, cfg, None)
     else:
@@ -170,6 +160,28 @@ def render_image(scene: Scene, cam: Camera, cfg: RenderConfig,
     full = jnp.ones((cfg.height, cfg.width, 4), rgb.dtype)
     full = full.at[y0:y1, x0:x1, :3].set(rgb)
     return full
+
+
+_render_image_jit = jax.jit(_render_image_impl, static_argnames=("cfg",))
+
+
+def render_image(scene: Scene, cam: Camera, cfg: RenderConfig,
+                 key: Array | None = None) -> Array:
+    """Full multisampled render -> (H, W, 4) RGBA in [0, 1]-ish HDR.
+
+    Jitted as one program per (static) config -- on this stack un-jitted
+    op-by-op dispatch costs ~ms per op, so the whole pipeline is always
+    compiled even for interactive use.  Inside an outer jit/grad the inner
+    jit is a no-op and the program inlines.
+
+    Uncropped pixels are white with alpha 1, matching the reference's
+    ones-initialized framebuffer (RelativisticRenderEngine.py:154).
+    Sample jitter follows the reference convention: the multisample average
+    over uniform +-half-pixel offsets (:227, :250).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(cfg.seed)
+    return _render_image_jit(scene, cam, cfg, key)
 
 
 def render_progressive(scene: Scene, cam: Camera, cfg: RenderConfig,

@@ -75,7 +75,8 @@ def _occluded(scene: Scene, origin: Array, direction: Array, dist: Array,
         b = jnp.sum(oc * direction, axis=-1)
         c = jnp.sum(oc * oc, axis=-1) - radius * radius
         disc = b * b - c
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        # guarded sqrt: NaN-jacobian trap, see integrate._sphere_events
+        sq = jnp.sqrt(jnp.where(disc > 0, disc, 1.0))
         t0 = -b - sq
         return (disc > 0) & (t0 > eps) & (t0 < dist)
 
@@ -98,8 +99,7 @@ def shade_sphere(scene: Scene, s: RayState) -> Array:
     """
     sph = scene.spheres
     obj = jnp.clip(s.hit_obj, 0, sph.center.shape[0] - 1)
-    center = sph.center[obj]
-    normal = s.hit_normal
+    normal = s.hit_normal(sph.center)
 
     # --- emission branch: spherical UV from the object-local normal ------
     # Sample each of the K textures densely and select by object id: K is
@@ -118,11 +118,11 @@ def shade_sphere(scene: Scene, s: RayState) -> Array:
         color = jnp.zeros(normal.shape[:-1] + (3,))
         for j in range(scene.lights.position.shape[0]):
             lp = scene.lights.position[j]
-            lv = lp - s.hit_point
+            lv = lp - s.x
             d2 = jnp.sum(lv * lv, axis=-1)
             ld = lv / jnp.maximum(jnp.sqrt(d2)[..., None], 1e-20)
             ndotl = jnp.sum(normal * ld, axis=-1)
-            shadow = _occluded(scene, s.hit_point, ld, jnp.sqrt(d2))
+            shadow = _occluded(scene, s.x, ld, jnp.sqrt(d2))
             vis = jnp.where(shadow, 0.0, 1.0)
             color = color + base * (
                 scene.lights.intensity * vis * jnp.maximum(ndotl, 0.0) / d2
@@ -145,7 +145,7 @@ def shade(scene: Scene, s: RayState, end_dir: Array) -> Array:
     st = s.status
     color = shade_background(scene, end_dir)  # ESCAPED and BUDGET
     if scene.disk is not None:
-        disk_rgb = shade_disk(scene, s.hit_point)
+        disk_rgb = shade_disk(scene, s.x)
         color = jnp.where((st == states.DISK)[..., None], disk_rgb, color)
     if scene.spheres is not None:
         obj_rgb = shade_sphere(scene, s)

@@ -150,7 +150,7 @@ def test_disk_event_flat():
     d0 = jnp.asarray([[0.0, 0.0, -1.0], [0.0, 0.0, -1.0]])
     s = launch(env, x0, d0, dataclasses.replace(CFG, dt_boost=1.0, dt=0.05))
     assert int(s.status[0]) == states.DISK
-    np.testing.assert_allclose(np.asarray(s.hit_point[0]), [3.0, 1.0, 0.0],
+    np.testing.assert_allclose(np.asarray(s.x[0]), [3.0, 1.0, 0.0],
                                atol=1e-4)
     # second ray crosses at R = 28.3 -> outside annulus, never hits
     assert int(s.status[1]) != states.DISK
@@ -168,12 +168,13 @@ def test_sphere_event_flat():
     s = launch(env, x0, d0, dataclasses.replace(CFG, dt_boost=1.0, dt=0.05))
     st = np.asarray(s.status)
     assert st[0] == states.OBJECT and st[1] == states.OBJECT
-    np.testing.assert_allclose(np.asarray(s.hit_point[0]), [8.0, 0.0, 0.0],
+    np.testing.assert_allclose(np.asarray(s.x[0]), [8.0, 0.0, 0.0],
                                atol=1e-3)
-    np.testing.assert_allclose(np.asarray(s.hit_normal[0]), [-1.0, 0.0, 0.0],
-                               atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(s.hit_normal(env.spheres.center)[0]), [-1.0, 0.0, 0.0],
+        atol=1e-4)
     assert int(s.hit_obj[0]) == 0 and int(s.hit_obj[1]) == 1
-    np.testing.assert_allclose(np.asarray(s.hit_point[1]), [0.0, 29.0, 0.0],
+    np.testing.assert_allclose(np.asarray(s.x[1]), [0.0, 29.0, 0.0],
                                atol=1e-3)
 
 

@@ -1,0 +1,119 @@
+"""Pallas-kernel parity and adjoint tests (interpret mode on CPU).
+
+The fused Pallas integrator (ops/pallas_kernel.py) must agree with the XLA
+scan path (ops/integrate.py) -- forward states bitwise-close and gradients
+matching the scan path's autodiff, since the scan path is the reference
+implementation whose own gradients are FD-validated in test_grad.py.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from blackhole_geodesic_calculator_tpu.ops import (
+    DiskGeom,
+    GeodesicEnv,
+    IntegratorConfig,
+    SphereGeom,
+    launch,
+    states,
+)
+from blackhole_geodesic_calculator_tpu.ops.geodesic import null_init
+from blackhole_geodesic_calculator_tpu.ops.integrate import integrate_fixed
+from blackhole_geodesic_calculator_tpu.ops.pallas_kernel import integrate_pallas
+
+CFG = IntegratorConfig(n_steps=64, dt=0.1)
+
+
+def rays(n=1500, seed=0):
+    rng = np.random.default_rng(seed)
+    x0 = np.stack([rng.uniform(-8, 8, n), rng.uniform(-8, 8, n),
+                   np.full(n, 25.0)], -1).astype(np.float32)
+    d = np.stack([rng.uniform(-0.3, 0.3, n), rng.uniform(-0.3, 0.3, n),
+                  np.full(n, -1.0)], -1)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(x0), jnp.asarray(d, jnp.float32)
+
+
+def make_env(mass, center=(2.0, 0.0, 10.0), radius=3.0):
+    return GeodesicEnv(
+        mass=mass, r_capture=2.0 * mass,
+        r_escape=jnp.asarray(60.0), lam_max=jnp.asarray(50.0),
+        disk=DiskGeom(r_in=jnp.asarray(2.0), r_out=jnp.asarray(6.0)),
+        spheres=SphereGeom(center=jnp.asarray([center]),
+                           radius=jnp.asarray([radius])),
+    )
+
+
+def pallas_launch(env, x0, d0, cfg):
+    p0, E0 = null_init(x0, d0, env.mass, None)
+    s0 = states.init_state(x0, p0, E0)
+    return integrate_pallas(env, s0, cfg, interpret=True)
+
+
+def test_forward_parity():
+    """Statuses identical, states f32-close, padding handled (N=1500)."""
+    env = make_env(jnp.asarray(0.5))
+    x0, d0 = rays()
+    s_ref = launch(env, x0, d0, CFG)
+    s_pal = pallas_launch(env, x0, d0, CFG)
+    np.testing.assert_array_equal(np.asarray(s_ref.status),
+                                  np.asarray(s_pal.status))
+    np.testing.assert_array_equal(np.asarray(s_ref.hit_obj),
+                                  np.asarray(s_pal.hit_obj))
+    np.testing.assert_allclose(np.asarray(s_ref.x), np.asarray(s_pal.x),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s_ref.p), np.asarray(s_pal.p),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s_ref.lam), np.asarray(s_pal.lam),
+                               atol=1e-4)
+
+
+def test_adjoint_matches_scan_autodiff():
+    """The checkpointed-adjoint backward kernel reproduces the scan path's
+    gradients w.r.t. mass, sphere center, ray origins and directions."""
+    x0, d0 = rays(1024, seed=1)
+    rng = np.random.default_rng(2)
+    wx = jnp.asarray(rng.normal(size=(1024, 3)), jnp.float32)
+
+    def loss(mass, cz, x0_, d0_, *, pallas):
+        env = make_env(mass, center=(2.0, 0.0, cz))
+        p0, E0 = null_init(x0_, d0_, env.mass, None)
+        s0 = states.init_state(x0_, p0, E0)
+        if pallas:
+            s = integrate_pallas(env, s0, CFG, interpret=True)
+        else:
+            s = integrate_fixed(env, s0, CFG)
+        ok = ((s.status != states.CAPTURED)
+              & (s.status != states.ERROR))[..., None]
+        return jnp.sum(jnp.where(ok, wx * s.x, 0.0))
+
+    args = (jnp.asarray(0.5), jnp.asarray(10.0), x0, d0)
+    g_ref = jax.grad(lambda *a: loss(*a, pallas=False), argnums=(0, 1, 2, 3))(*args)
+    g_pal = jax.grad(lambda *a: loss(*a, pallas=True), argnums=(0, 1, 2, 3))(*args)
+    for a, b in zip(g_ref, g_pal):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(a).all() and np.isfinite(b).all()
+        np.testing.assert_allclose(b, a, rtol=1e-4,
+                                   atol=1e-5 * max(np.abs(a).max(), 1.0))
+
+
+def test_no_nan_gradients_with_all_event_types():
+    """Rays spanning capture/escape/disk/sphere/budget must yield finite
+    gradients (regression for the 0*inf NaN-jacobian traps)."""
+    x0, d0 = rays(512, seed=3)
+
+    def loss(mass):
+        env = make_env(mass)
+        p0, E0 = null_init(x0, d0, mass, None)
+        s0 = states.init_state(x0, p0, E0)
+        s = integrate_fixed(env, s0, CFG)
+        ok = ((s.status != states.CAPTURED)
+              & (s.status != states.ERROR))[..., None]
+        return jnp.sum(jnp.where(ok, s.x**2, 0.0))
+
+    g = jax.grad(loss)(jnp.asarray(0.5))
+    assert np.isfinite(float(g))
