@@ -1,0 +1,154 @@
+"""Command-line interface.
+
+The reference's CLI story is ``blender -b scene.blend -f N`` plus a
+depsgraph re-eval hack (RelativisticRenderEngine.py:140-141, milestone
+"V Commandline rendering" README.md:238).  Standalone subcommands:
+
+  render             scene config JSON -> PNG (progressive sample output)
+  animate            orbit-animation frames (the reference's 100-frame
+                     renders, README.md:8-9)
+  precompute-camera  Gen-3 ray-field precompute -> npz
+                     (RelativisticRenderEngineCamEdition.py:206-221)
+  bench              rays/s measurement (same harness as bench.py)
+
+Run as ``python -m blackhole_geodesic_calculator_tpu.cli <cmd> ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _cmd_render(args):
+    import jax
+
+    from .io_ import build_scene, load_config, tonemap, write_png
+    from .render import render_progressive
+
+    cfg = load_config(args.config)
+    if args.width:
+        cfg.width = args.width
+    if args.height:
+        cfg.height = args.height
+    scene, cam, rcfg = build_scene(cfg)
+
+    t0 = time.perf_counter()
+    img = None
+    for i, frame in render_progressive(scene, cam, rcfg):
+        img = frame
+        if args.verbose:
+            print(f"sample {i + 1}/{rcfg.samples} "
+                  f"({time.perf_counter() - t0:.1f}s)")
+    img = np.asarray(jax.block_until_ready(img))
+    if args.tonemap:
+        img = np.concatenate([tonemap(img[..., :3]), img[..., 3:]], -1)
+    write_png(args.out, img)
+    print(f"wrote {args.out} ({rcfg.width}x{rcfg.height}, "
+          f"{rcfg.samples} spp, {time.perf_counter() - t0:.1f}s)")
+
+
+def _cmd_animate(args):
+    import jax
+
+    from .io_ import build_scene, load_config, tonemap, write_png
+    from .render import render_image
+
+    cfg = load_config(args.config)
+    scene, cam, rcfg = build_scene(cfg)
+    r = float(np.linalg.norm(np.asarray(cfg.camera_location)
+                             - np.asarray(cfg.bh_loc)))
+    for f in range(args.frames):
+        phi = 2.0 * np.pi * f / args.frames
+        pos = np.asarray(cfg.bh_loc) + r * np.asarray(
+            [np.sin(phi), 0.0, np.cos(phi)])
+        # orbit in the x-z plane looking at the hole: euler_y = phi turns
+        # the camera's -z axis onto -(sin phi, 0, cos phi)
+        cam_f = dataclasses.replace(
+            cam,
+            position=jax.numpy.asarray(pos, jax.numpy.float32),
+            euler=jax.numpy.asarray([0.0, phi, 0.0], jax.numpy.float32))
+        img = np.asarray(render_image(scene, cam_f, rcfg))
+        if args.tonemap:
+            img = np.concatenate([tonemap(img[..., :3]), img[..., 3:]], -1)
+        path = args.out_pattern.format(frame=f)
+        write_png(path, img)
+        print(f"frame {f + 1}/{args.frames} -> {path}")
+
+
+def _cmd_precompute(args):
+    from .compat import RelativisticCamera
+
+    cam = RelativisticCamera(
+        resolution=(args.res, args.res),
+        field_of_view=(args.fov, args.fov),
+        a=args.a, mass=args.mass,
+        camera_location=tuple(args.camera),
+        max_step=args.max_step, curve_end=args.curve_end,
+    )
+    t0 = time.perf_counter()
+    cam.run(verbose=True)
+    cam.save(args.out)
+    print(f"wrote {args.out} ({time.perf_counter() - t0:.1f}s)")
+
+
+def _cmd_bench(args):
+    import subprocess
+
+    cmd = [sys.executable, "bench.py", "--size", str(args.size),
+           "--steps", str(args.steps)]
+    if args.fwd_only:
+        cmd.append("--fwd-only")
+    sys.exit(subprocess.call(cmd))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="blackhole_geodesic_calculator_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("render", help="render a scene config to PNG")
+    p.add_argument("config")
+    p.add_argument("-o", "--out", default="render.png")
+    p.add_argument("--width", type=int, default=0)
+    p.add_argument("--height", type=int, default=0)
+    p.add_argument("--tonemap", action="store_true")
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.set_defaults(fn=_cmd_render)
+
+    p = sub.add_parser("animate", help="render an orbit animation")
+    p.add_argument("config")
+    p.add_argument("--frames", type=int, default=10)
+    p.add_argument("--out-pattern", default="frame_{frame:04d}.png")
+    p.add_argument("--tonemap", action="store_true")
+    p.set_defaults(fn=_cmd_animate)
+
+    p = sub.add_parser("precompute-camera",
+                       help="Gen-3 ray-field precompute -> npz")
+    p.add_argument("-o", "--out", default="camera.npz")
+    p.add_argument("--res", type=int, default=124)
+    p.add_argument("--fov", type=float, default=0.3)
+    p.add_argument("--a", type=float, default=0.0)
+    p.add_argument("--mass", type=float, default=0.5)
+    p.add_argument("--camera", type=float, nargs=3,
+                   default=[0.0, 0.0, 25.0])
+    p.add_argument("--max-step", type=float, default=0.1)
+    p.add_argument("--curve-end", type=float, default=100.0)
+    p.set_defaults(fn=_cmd_precompute)
+
+    p = sub.add_parser("bench", help="run the rays/s benchmark")
+    p.add_argument("--size", type=int, default=1024)
+    p.add_argument("--steps", type=int, default=256)
+    p.add_argument("--fwd-only", action="store_true")
+    p.set_defaults(fn=_cmd_bench)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

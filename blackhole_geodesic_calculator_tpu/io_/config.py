@@ -1,0 +1,161 @@
+"""Scene/render configuration -- the reference's PROPS system, standalone.
+
+The reference's single config store is a list of ``bpy.props`` scene
+properties registered on the Blender Scene (PROPS,
+RelativisticRenderEngine.py:504-517, LimitedRelativisticRenderEngine.py:
+486-506), edited in a UI panel and read back in render().  Here the same
+namespace is a JSON-serializable dataclass: every reference property has a
+field with the same name and default, plus the TPU-native additions
+(integrator/backend/sharding).  Sentinel convention preserved: -1 = off
+(marks, max steps; RelativisticRenderEngine.py:57-62,106-118).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..camera.pinhole import Camera
+from ..ops.integrate import IntegratorConfig
+from ..render.renderer import RenderConfig
+from ..scene.scene import BlackHole, Disk, Lights, Scene, Spheres
+from .image import read_image
+
+
+@dataclasses.dataclass
+class SceneConfig:
+    """Mirrors the reference PROPS namespace (defaults from
+    RelativisticRenderEngine.py:504-517 / LimitedRelativisticRenderEngine.py
+    :486-506) + scene content the reference keeps in Blender objects."""
+
+    # -- reference scene properties ---------------------------------------
+    mass: float = 0.5                    # 'mass' default 0.5 (:506)
+    max_integration_step: float = 0.1    # 'max_integration_step' (:507)
+    integration_depth: float = 50.0      # 'integration_depth' default 50 (:508)
+    sampling_seed: int = 42              # 'sampling_seed' default 42 (:509)
+    field_of_view_x: float = 1.0         # (:510)
+    field_of_view_y: float = 1.0         # (:511)
+    samples: int = 1                     # eevee.taa_render_samples analogue
+    sky_image: str = ""                  # 'sky_image' path (:512)
+    mark_x_min: int = -1                 # debug crop (:513-517)
+    mark_x_max: int = -1
+    mark_y_min: int = -1
+    mark_y_max: int = -1
+    # Gen-1 disk props (LimitedRelativisticRenderEngine.py:492-498)
+    disk_on: bool = False
+    disk_R_in: float = 2.0
+    disk_R_out: float = 6.0
+    disk_phase: float = 0.0
+    disk_mean: float = 0.5
+    disk_stddev: float = 0.2
+    disk_intensity: float = 1.0
+    disk_texture: str = ""
+    # Kerr spin (Gen-3 'a', RelativisticRenderEngineCamEdition.py:210)
+    spin: float = 0.0
+
+    # -- scene content (Blender objects in the reference) -----------------
+    bh_loc: tuple = (0.0, 0.0, 0.0)
+    camera_location: tuple = (0.0, 0.0, 25.0)
+    camera_rotation_euler: tuple = (0.0, 0.0, 0.0)
+    spheres: list = dataclasses.field(default_factory=list)
+    # each: {center, radius, texture?, emission?, albedo?}
+    lights: list = dataclasses.field(default_factory=list)
+    light_intensity: float = 10.0
+
+    # -- output / TPU-native ----------------------------------------------
+    width: int = 256
+    height: int = 256
+    n_steps: int = 512
+    backend: str = "auto"
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "SceneConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(d) - known
+        if unknown:
+            raise ValueError(f"unknown config keys: {sorted(unknown)}")
+        return cls(**d)
+
+
+def load_config(path: str) -> SceneConfig:
+    with open(path) as f:
+        return SceneConfig.from_dict(json.load(f))
+
+
+def _texture(spec, default_color=(1.0, 1.0, 1.0), shape=(8, 8)):
+    """Texture spec: image path | [r, g, b] | None -> (H, W, 3) array."""
+    if isinstance(spec, str) and spec:
+        return jnp.asarray(read_image(spec))
+    if isinstance(spec, (list, tuple)) and len(spec) == 3:
+        return jnp.broadcast_to(
+            jnp.asarray(spec, jnp.float32), shape + (3,)).copy()
+    return jnp.broadcast_to(
+        jnp.asarray(default_color, jnp.float32), shape + (3,)).copy()
+
+
+def build_scene(cfg: SceneConfig) -> tuple[Scene, Camera, RenderConfig]:
+    """SceneConfig -> (Scene, Camera, RenderConfig), the render() ingest
+    step of the reference (RelativisticRenderEngine.py:57-118)."""
+    background = None
+    if cfg.sky_image:
+        background = jnp.asarray(read_image(cfg.sky_image))
+
+    disk = None
+    if cfg.disk_on:
+        disk = Disk.make(
+            r_in=cfg.disk_R_in, r_out=cfg.disk_R_out,
+            texture=_texture(cfg.disk_texture, (1.0, 0.6, 0.2)),
+            phase=cfg.disk_phase, mean=cfg.disk_mean,
+            stddev=cfg.disk_stddev, intensity=cfg.disk_intensity)
+
+    spheres = None
+    if cfg.spheres:
+        centers = [s["center"] for s in cfg.spheres]
+        radii = [s["radius"] for s in cfg.spheres]
+        texs = [np.asarray(_texture(s.get("texture"), (0.8, 0.8, 0.8)))
+                for s in cfg.spheres]
+        hmax = max(t.shape[0] for t in texs)
+        wmax = max(t.shape[1] for t in texs)
+        import jax.image
+
+        texs = [t if t.shape[:2] == (hmax, wmax) else np.asarray(
+            jax.image.resize(jnp.asarray(t), (hmax, wmax, 3), "linear"))
+            for t in texs]
+        emission = [float(s.get("emission", 1.0)) for s in cfg.spheres]
+        albedo = [s.get("albedo", [1.0, 1.0, 1.0]) for s in cfg.spheres]
+        spheres = Spheres.make(center=centers, radius=radii,
+                               texture=np.stack(texs), emission=emission,
+                               albedo=albedo)
+
+    lights = None
+    if cfg.lights:
+        lights = Lights.make(position=cfg.lights,
+                             intensity=cfg.light_intensity)
+
+    scene = Scene(
+        bh=BlackHole.make(mass=cfg.mass, loc=cfg.bh_loc,
+                          spin=cfg.spin if cfg.spin else None),
+        background=background, disk=disk, spheres=spheres, lights=lights)
+
+    cam = Camera.make(position=cfg.camera_location,
+                      euler=cfg.camera_rotation_euler,
+                      fov=(cfg.field_of_view_x, cfg.field_of_view_y))
+
+    render_cfg = RenderConfig(
+        width=cfg.width, height=cfg.height, samples=cfg.samples,
+        seed=cfg.sampling_seed,
+        integrator=IntegratorConfig(
+            n_steps=cfg.n_steps, dt=cfg.max_integration_step,
+            backend=cfg.backend),
+        lam_max=cfg.integration_depth if cfg.integration_depth > 0
+        else np.inf,
+        mark_x_min=cfg.mark_x_min, mark_x_max=cfg.mark_x_max,
+        mark_y_min=cfg.mark_y_min, mark_y_max=cfg.mark_y_max)
+    return scene, cam, render_cfg

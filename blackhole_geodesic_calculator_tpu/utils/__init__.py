@@ -1,0 +1,7 @@
+"""Utilities: timing, profiling, observability."""
+
+from .timing import PhaseTimers, timed, benchmark
+from .profiling import trace, annotate, device_memory_stats
+
+__all__ = ["PhaseTimers", "timed", "benchmark", "trace", "annotate",
+           "device_memory_stats"]

@@ -1,0 +1,133 @@
+"""IO, config, checkpoint, CLI and utils tests."""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from blackhole_geodesic_calculator_tpu.io_ import (
+    SceneConfig,
+    build_scene,
+    load_config,
+    load_train_state,
+    read_image,
+    save_train_state,
+    tonemap,
+    write_png,
+)
+from blackhole_geodesic_calculator_tpu.utils import (
+    PhaseTimers,
+    benchmark,
+    timed,
+)
+
+
+def test_png_roundtrip(tmp_path):
+    img = np.random.default_rng(0).uniform(size=(16, 24, 3)).astype(np.float32)
+    p = str(tmp_path / "x.png")
+    write_png(p, img)
+    back = read_image(p)
+    assert back.shape == (16, 24, 3)
+    np.testing.assert_allclose(back, img, atol=1.0 / 255.0 + 1e-6)
+
+
+def test_pure_python_png_fallback(tmp_path):
+    """The zero-dependency encoder must produce a file PIL can read."""
+    from blackhole_geodesic_calculator_tpu.io_.image import _png_bytes
+
+    img = (np.random.default_rng(1).uniform(size=(8, 8, 4)) * 255).astype(
+        np.uint8)
+    p = str(tmp_path / "y.png")
+    with open(p, "wb") as f:
+        f.write(_png_bytes(np.ascontiguousarray(img)))
+    from PIL import Image
+
+    back = np.asarray(Image.open(p))
+    np.testing.assert_array_equal(back, img)
+
+
+def test_tonemap():
+    assert tonemap(np.asarray([0.0])) == 0.0
+    assert 0.9 < tonemap(np.asarray([100.0])) < 1.0
+
+
+def test_scene_config_roundtrip_and_build(tmp_path):
+    cfg = SceneConfig(
+        mass=0.7, width=32, height=24, disk_on=True, spin=0.0,
+        spheres=[{"center": [0.0, 0.0, -12.0], "radius": 1.0,
+                  "texture": [0.2, 1.0, 0.2]}],
+        lights=[[10.0, 10.0, 10.0]],
+    )
+    p = str(tmp_path / "scene.json")
+    with open(p, "w") as f:
+        f.write(cfg.to_json())
+    cfg2 = load_config(p)
+    # JSON round-trips tuples as lists; compare the serialized forms
+    assert json.loads(cfg2.to_json()) == json.loads(cfg.to_json())
+
+    scene, cam, rcfg = build_scene(cfg2)
+    assert float(scene.bh.mass) == pytest.approx(0.7)
+    assert scene.disk is not None and scene.spheres is not None
+    assert scene.lights is not None
+    assert rcfg.width == 32 and rcfg.height == 24
+
+    with pytest.raises(ValueError, match="unknown config keys"):
+        SceneConfig.from_dict({"no_such_key": 1})
+
+
+def test_cli_render_and_precompute(tmp_path):
+    """Drive the CLI in-process: render a tiny scene to PNG, precompute a
+    tiny camera to npz."""
+    from blackhole_geodesic_calculator_tpu.cli import main
+
+    cfg = SceneConfig(width=16, height=16, n_steps=64,
+                      max_integration_step=0.2)
+    cp = str(tmp_path / "scene.json")
+    with open(cp, "w") as f:
+        f.write(cfg.to_json())
+    out = str(tmp_path / "out.png")
+    main(["render", cp, "-o", out])
+    assert os.path.exists(out)
+    img = read_image(out)
+    assert img.shape == (16, 16, 3)
+    # hole-centered camera -> black shadow at center
+    assert img[8, 8].max() < 0.05
+
+    npz = str(tmp_path / "cam.npz")
+    main(["precompute-camera", "-o", npz, "--res", "8", "--fov", "0.5",
+          "--max-step", "0.3", "--curve-end", "60"])
+    with np.load(npz) as z:
+        assert z["ray_end"].shape == (8, 8, 6)
+
+
+def test_train_state_checkpoint_npz(tmp_path):
+    params = {"mass": jnp.asarray(0.4), "tex": jnp.ones((4, 4, 3))}
+    opt = optax.adam(1e-2)
+    st = opt.init(params)
+    p = str(tmp_path / "ck.npz")
+    save_train_state(p, params, st, 17)
+    p2, s2, step = load_train_state(p, like=(params, st))
+    assert step == 17
+    np.testing.assert_allclose(np.asarray(p2["mass"]), 0.4)
+    assert jax.tree.structure((p2, s2)) == jax.tree.structure((params, st))
+
+
+import jax  # noqa: E402  (used in the test above)
+
+
+def test_timers_and_benchmark():
+    t = PhaseTimers()
+    with t.phase("a"):
+        pass
+    with t.phase("a"):
+        pass
+    assert t.count["a"] == 2 and "a" in t.report()
+
+    f = jax.jit(lambda x: x * 2)
+    out, dt = timed(f, jnp.ones(8))
+    assert dt >= 0 and float(out[0]) == 2.0
+    out, best = benchmark(f, jnp.ones(8), warmup=1, repeat=2)
+    assert best >= 0
