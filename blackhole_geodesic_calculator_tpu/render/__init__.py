@@ -1,5 +1,6 @@
 """Rendering pipeline: rays -> geodesics -> events -> shading -> image."""
 
+from .limited import LimitedConfig, render_limited
 from .renderer import (
     RenderConfig,
     render_image,
@@ -9,6 +10,8 @@ from .renderer import (
 )
 
 __all__ = [
+    "LimitedConfig",
+    "render_limited",
     "RenderConfig",
     "render_image",
     "render_sample",

@@ -1,0 +1,129 @@
+"""Gen-1 'Limited' hybrid renderer tests -- reference behaviors from
+LimitedRelativisticRenderEngine.py (see render/limited.py docstring)."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from blackhole_geodesic_calculator_tpu.camera import Camera
+from blackhole_geodesic_calculator_tpu.ops import IntegratorConfig
+from blackhole_geodesic_calculator_tpu.render import (
+    LimitedConfig,
+    RenderConfig,
+    render_image,
+    render_limited,
+)
+from blackhole_geodesic_calculator_tpu.scene import (
+    BlackHole, Disk, Lights, Scene, Spheres,
+)
+
+
+def sky():
+    h, w = 16, 32
+    v = jnp.linspace(0.0, 1.0, h)[:, None]
+    u = jnp.linspace(0.0, 1.0, w, endpoint=False)[None, :]
+    return jnp.stack([jnp.broadcast_to(0.5 + 0.5 * jnp.sin(
+        2 * jnp.pi * u) * jnp.sin(jnp.pi * v), (h, w)),
+        jnp.broadcast_to(v, (h, w)), 0.5 * jnp.ones((h, w))], -1)
+
+
+CFG = RenderConfig(width=32, height=32, samples=1,
+                   integrator=IntegratorConfig(n_steps=400, dt=0.1),
+                   lam_max=200.0)
+LCFG = LimitedConfig(r_influence=10.0)
+CAM = Camera.make(position=(0.0, 0.0, 40.0), fov=(0.6, 0.6))
+
+
+def test_limited_basic_shadow_and_background():
+    scene = Scene(bh=BlackHole.make(mass=0.5), background=sky())
+    img = np.asarray(render_limited(scene, CAM, CFG, LCFG))
+    assert np.isfinite(img).all()
+    # center: shadow black
+    assert img[16, 16, :3].max() < 1e-3
+    # corner ray never enters the influence sphere -> pure background
+    assert img[0, 0, :3].sum() > 0.05
+    # no rogue-ray debug pixels in a healthy config
+    red = (img[..., 0] > 0.99) & (img[..., 1] < 0.01) & (img[..., 2] < 0.01)
+    assert red.sum() == 0
+
+
+def test_limited_vs_whole_scene_truncation_error():
+    """The hybrid treats space outside the influence sphere as flat; the
+    whole-scene render keeps the weak-field deflection ~2 r_s / b out there
+    (0.1-0.13 rad at b = 10-15 for r_s = 1).  The difference between the
+    two engines on border rays is exactly that truncation error -- bounded
+    and small, but nonzero by design (this is Gen-1's architectural
+    approximation, reference README.md:66 vs :224)."""
+    scene = Scene(bh=BlackHole.make(mass=0.5), background=sky())
+    img_l = np.asarray(render_limited(scene, CAM, CFG, LCFG))
+    img_w = np.asarray(render_image(scene, CAM, dataclasses.replace(
+        CFG, lam_max=300.0)))
+    border = np.ones((32, 32), bool)
+    border[6:26, 6:26] = False
+    diff = np.abs(img_l[..., :3] - img_w[..., :3])[border]
+    assert diff.max() < 0.2  # bounded by the weak-field deflection
+    # both agree the shadow is black
+    assert img_w[16, 16, :3].max() < 1e-3
+    assert img_l[16, 16, :3].max() < 1e-3
+
+
+def test_limited_disk_and_debug_colors():
+    disk_tex = jnp.broadcast_to(jnp.asarray([1.0, 0.6, 0.2]), (8, 32, 3))
+    scene = Scene(bh=BlackHole.make(mass=0.5), background=sky(),
+                  disk=Disk.make(r_in=2.0, r_out=6.0, texture=disk_tex))
+    cam = Camera.make(position=(0.0, 12.0, 38.0), euler=(-0.3, 0.0, 0.0),
+                      fov=(0.6, 0.6))
+    img = np.asarray(render_limited(scene, cam, CFG, LCFG))
+    assert np.isfinite(img).all()
+    orange = (img[..., 0] > 0.3) & (img[..., 2] < 0.25) & (img[..., 1] > 0.1)
+    assert orange.sum() > 10  # lensed disk visible
+
+    # 'Outside' taxonomy: starve the affine budget -> RED debug pixels
+    cfg_starved = dataclasses.replace(
+        CFG, lam_max=3.0,
+        integrator=IntegratorConfig(n_steps=30, dt=0.1))
+    img2 = np.asarray(render_limited(scene, cam, cfg_starved, LCFG))
+    red = (img2[..., 0] > 0.99) & (img2[..., 1] < 0.01) & (img2[..., 2] < 0.01)
+    assert red.sum() > 10
+    # debug colors off -> those pixels render black instead
+    img3 = np.asarray(render_limited(
+        scene, cam, cfg_starved,
+        dataclasses.replace(LCFG, debug_colors=False)))
+    assert ((img3[..., :3] == 0).all(-1) & red).sum() == red.sum()
+
+
+def test_limited_moon_einstein_ring_and_lambert():
+    moon_tex = jnp.broadcast_to(jnp.asarray([0.2, 1.0, 0.2]), (1, 8, 8, 3))
+    scene = Scene(
+        bh=BlackHole.make(mass=0.5), background=sky(),
+        spheres=Spheres.make(center=[[0.0, 0.0, -20.0]], radius=[1.5],
+                             texture=moon_tex),
+    )
+    img = np.asarray(render_limited(scene, CAM, CFG, LCFG))
+    green = (img[..., 1] > 0.8) & (img[..., 0] < 0.4)
+    ys, xs = np.nonzero(green)
+    assert len(ys) > 4
+    r = np.sqrt((ys - 16) ** 2 + (xs - 16) ** 2)
+    assert r.min() > 1.5  # ring, not a central dot
+
+    # Lambert branch: non-emissive sphere lit by a lamp, visible directly
+    scene2 = Scene(
+        bh=BlackHole.make(mass=0.5), background=None,
+        spheres=Spheres.make(center=[[5.0, 0.0, 20.0]], radius=[3.0],
+                             texture=moon_tex, emission=[0.0],
+                             albedo=[[1.0, 0.0, 0.0]]),
+        lights=Lights.make(position=[[30.0, 0.0, 40.0]], intensity=10.0),
+    )
+    img2 = np.asarray(render_limited(scene2, CAM, CFG, LCFG))
+    lit = img2[..., 0] > 0.01
+    assert lit.sum() > 3  # lamp-lit red sphere visible
+
+
+def test_limited_test_output_background():
+    scene = Scene(bh=BlackHole.make(mass=0.5))
+    img = np.asarray(render_limited(
+        scene, CAM, CFG, dataclasses.replace(LCFG, test_output=True)))
+    # direction gradient: red channel everywhere 0
+    assert (img[..., 0] < 1e-6).all()
+    assert img[..., 1:3].max() > 0.01
