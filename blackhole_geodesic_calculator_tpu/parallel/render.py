@@ -3,12 +3,16 @@
 Replaces the reference's absent parallel runtime (SURVEY.md §2.2: an
 abandoned ``mp.Pool`` block at
 /root/reference/raytracer/RelativisticRenderEngine.py:210-216 and per-frame
-cluster job farming) with SPMD over a ``jax.sharding.Mesh``:
+cluster job farming) with SPMD over a ``jax.sharding.Mesh`` via
+``shard_map`` -- explicit per-device programs with explicit collectives,
+which (unlike sharding-annotation auto-partitioning) also composes with the
+Pallas integrator kernels, since each device simply runs its local
+``pallas_call``:
 
 * the flat pixel batch is sharded over the ``rays`` mesh axis;
-* multisample jitters are sharded over the ``samples`` axis and reduced with
-  one ``psum``-backed mean;
-* scene/camera parameters are replicated (they are a few KB);
+* multisample jitters are sharded over the ``samples`` axis and reduced
+  with one ``pmean`` riding the ICI;
+* scene/camera parameters are replicated (a few KB);
 * a **load-balancing shuffle**: cost per ray is wildly nonuniform (shadow
   rays capture in a few steps, photon-sphere grazers need thousands --
   reference ``nr_points_curve=10000``), so pixels are dealt round-robin
@@ -18,11 +22,12 @@ cluster job farming) with SPMD over a ``jax.sharding.Mesh``:
 
 from __future__ import annotations
 
-from functools import partial
+import functools
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
 
 from ..camera.pinhole import Camera
 from ..render.renderer import RenderConfig, render_rays
@@ -45,23 +50,33 @@ def _flat_pixels(cfg: RenderConfig, n_shards: int):
     # Round-robin deal: slot (s, j) -> pixel j * n_shards + s.  Neighboring
     # pixels (similar geodesic cost) land on different shards.
     slot = jnp.arange(total)
-    perm = (slot % (total // n_shards)) * n_shards + slot // (total // n_shards)
+    per = total // n_shards
+    perm = (slot % per) * n_shards + slot // per
     perm = jnp.where(perm < n, perm, 0)  # padding slots re-trace pixel 0
     ys = y0 + perm // wc
     xs = x0 + perm % wc
     return ys, xs, perm, n
 
 
-@partial(
-    jax.jit,
-    static_argnames=("cfg", "n_shards"),
-)
-def _render_flat_mean(scene, cam, cfg: RenderConfig, keys, ys, xs, n_shards):
-    """Mean over the (sharded) sample axis of flat-ray renders."""
-    if keys is None:
-        return render_rays(scene, cam, cfg, ys, xs, None)
-    rgb = jax.vmap(lambda k: render_rays(scene, cam, cfg, ys, xs, k))(keys)
-    return jnp.mean(rgb, axis=0)
+@functools.lru_cache(maxsize=64)
+def _sharded_render_fn(mesh: Mesh, cfg: RenderConfig, multisample: bool):
+    """Build the shard_map'd per-device render program."""
+
+    def local(scene, cam, keys, ys, xs):
+        if not multisample:
+            return render_rays(scene, cam, cfg, ys, xs, None)
+        rgb = jnp.mean(
+            jax.vmap(lambda k: render_rays(scene, cam, cfg, ys, xs, k))(keys),
+            axis=0,
+        )
+        return jax.lax.pmean(rgb, SAMPLE_AXIS)
+
+    return jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(SAMPLE_AXIS), P(RAY_AXIS), P(RAY_AXIS)),
+        out_specs=P(RAY_AXIS),
+        check_rep=False,
+    ))
 
 
 def render_image_sharded(
@@ -87,7 +102,7 @@ def render_image_sharded(
             f"'{SAMPLE_AXIS}' extent {n_smp}"
         )
 
-    ys, xs, perm, n_valid = _flat_pixels(cfg, n_ray)
+    ys, xs, perm, _ = _flat_pixels(cfg, n_ray)
     shard = NamedSharding(mesh, P(RAY_AXIS))
     repl = NamedSharding(mesh, P())
     ys = jax.device_put(ys, shard)
@@ -95,17 +110,23 @@ def render_image_sharded(
     scene = jax.device_put(scene, repl)
     cam = jax.device_put(cam, repl)
 
-    if cfg.samples == 1 and key is None:
-        keys = None
-    else:
+    multisample = not (cfg.samples == 1 and key is None)
+    if multisample:
         if key is None:
             key = jax.random.PRNGKey(cfg.seed)
         keys = jax.device_put(
             jax.random.split(key, cfg.samples),
             NamedSharding(mesh, P(SAMPLE_AXIS)),
         )
+    else:
+        # dummy replicated-shape keys array (unused)
+        keys = jax.device_put(
+            jnp.zeros((n_smp, 2), jnp.uint32),
+            NamedSharding(mesh, P(SAMPLE_AXIS)),
+        )
 
-    rgb = _render_flat_mean(scene, cam, cfg, keys, ys, xs, n_ray)
+    fn = _sharded_render_fn(mesh, cfg, multisample)
+    rgb = fn(scene, cam, keys, ys, xs)
 
     # Host-side framebuffer assembly (the reference's progressive buffer
     # write, RelativisticRenderEngine.py:162): unpermute and fill the frame.

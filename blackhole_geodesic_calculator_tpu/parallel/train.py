@@ -77,7 +77,23 @@ class Trainer:
             )
         self._shard = NamedSharding(self.mesh, P(RAY_AXIS))
         self._repl = NamedSharding(self.mesh, P())
-        self._jit_step = jax.jit(self._step)
+        from jax.experimental.shard_map import shard_map
+
+        # Explicit SPMD: each device renders/differentiates its local ray
+        # and sample shard, then parameter gradients (replicated pytree)
+        # are all-reduced with one pmean over BOTH mesh axes -- the
+        # gradient all-reduce riding ICI, overlapped with the backward by
+        # the XLA scheduler.  shard_map (rather than sharding-annotation
+        # auto-partitioning) is what lets the Pallas integrator kernels
+        # run under data parallelism: each device just calls its own
+        # kernel on its shard.
+        self._jit_step = jax.jit(shard_map(
+            self._local_step, mesh=self.mesh,
+            in_specs=(P(), P(), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS),
+                      P(SAMPLE_AXIS)),
+            out_specs=(P(), P(), P()),
+            check_rep=False,
+        ))
 
     def init(self, params):
         return jax.device_put(self.optimizer.init(params), self._repl)
@@ -93,18 +109,20 @@ class Trainer:
             jax.device_put(xs, self._shard),
         )
 
-    def step(self, params, opt_state, target_flat, ys, xs, key):
+    def step(self, params, opt_state, target_flat, ys, xs, keys):
         """One jitted optimization step; returns (params, opt_state, loss)."""
-        return self._jit_step(params, opt_state, target_flat, ys, xs, key)
+        return self._jit_step(params, opt_state, target_flat, ys, xs, keys)
 
-    def _step(self, params, opt_state, target_flat, ys, xs, key):
+    def _local_step(self, params, opt_state, target_flat, ys, xs, keys):
+        """Per-device body (runs under shard_map): local render + backward,
+        then pmean of (grads, loss) over the whole mesh.  ``keys`` is the
+        device's local slice of the per-sample RNG keys."""
 
         def loss_of(p):
             scene, cam = self.param_fn(p)
             if self.cfg.samples == 1:
                 rgb = render_rays(scene, cam, self.cfg, ys, xs, None)
             else:
-                keys = jax.random.split(key, self.cfg.samples)
                 rgb = jnp.mean(
                     jax.vmap(
                         lambda k: render_rays(scene, cam, self.cfg, ys, xs, k)
@@ -114,6 +132,8 @@ class Trainer:
             return self.loss_fn(rgb, target_flat)
 
         loss, grads = jax.value_and_grad(loss_of)(params)
+        grads = jax.lax.pmean(grads, (SAMPLE_AXIS, RAY_AXIS))
+        loss = jax.lax.pmean(loss, (SAMPLE_AXIS, RAY_AXIS))
         updates, opt_state = self.optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
@@ -125,11 +145,15 @@ class Trainer:
         target_flat, ys, xs = self.shard_target(target_image)
         params = jax.device_put(params, self._repl)
         opt_state = self.init(params)
+        keys_sharding = NamedSharding(self.mesh, P(SAMPLE_AXIS))
+        n_keys = max(self.cfg.samples, self._n_smp)
         losses = []
         for i in range(n_steps):
             key, sub = jax.random.split(key)
+            keys = jax.device_put(jax.random.split(sub, n_keys),
+                                  keys_sharding)
             params, opt_state, loss = self.step(
-                params, opt_state, target_flat, ys, xs, sub
+                params, opt_state, target_flat, ys, xs, keys
             )
             losses.append(float(loss))
             if log_every and i % log_every == 0:

@@ -105,6 +105,6 @@ def test_trainer_recovers_mass():
                  optimizer=optax.chain(optax.clip_by_global_norm(1.0),
                                        optax.adam(2e-2)),
                  mesh=make_mesh())
-    params, losses = tr.fit({"mass": jnp.asarray(0.35)}, target, n_steps=40)
+    params, losses = tr.fit({"mass": jnp.asarray(0.35)}, target, n_steps=60)
     assert min(losses) < losses[0] * 0.5
     assert abs(float(params["mass"]) - 0.5) < 0.05
