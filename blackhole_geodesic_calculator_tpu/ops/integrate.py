@@ -318,19 +318,28 @@ def _fixed_step(env: GeodesicEnv, cfg: IntegratorConfig, s: RayState) -> RayStat
 
 
 def integrate_fixed(env: GeodesicEnv, s0: RayState, cfg: IntegratorConfig) -> RayState:
-    """RK4 scan -- differentiable, remat-checkpointed in segments."""
+    """RK4 scan -- differentiable, remat-checkpointed in segments.
+
+    Runs EXACTLY cfg.n_steps steps: full remat segments plus an un-remated
+    tail of n_steps % seg (a ceil'd segment count would silently
+    over-integrate every ray whenever seg does not divide n_steps)."""
     seg = cfg.remat_segment or max(1, int(cfg.n_steps**0.5))
-    n_seg = -(-cfg.n_steps // seg)
+    n_full = cfg.n_steps // seg
+    rem = cfg.n_steps % seg
+
+    def body(s, _):
+        return _fixed_step(env, cfg, s), None
 
     def one_segment(s, _):
-        def body(s, _):
-            return _fixed_step(env, cfg, s), None
-
         s, _ = lax.scan(body, s, None, length=seg)
         return s, None
 
     segf = jax.checkpoint(one_segment) if seg > 1 else one_segment
-    s, _ = lax.scan(segf, s0, None, length=n_seg)
+    s = s0
+    if n_full:
+        s, _ = lax.scan(segf, s, None, length=n_full)
+    if rem:
+        s, _ = lax.scan(body, s, None, length=rem)
     return s
 
 
@@ -405,7 +414,7 @@ def _use_pallas(env, cfg: IntegratorConfig) -> bool:
         return True
     if cfg.backend != "auto":
         return False
-    if cfg.method != "rk4" or env.spin is not None:
+    if cfg.method != "rk4":
         return False
     return jax.default_backend() == "tpu"
 

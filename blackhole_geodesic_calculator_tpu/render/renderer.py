@@ -73,7 +73,12 @@ class RenderConfig:
 
 
 def scene_env(scene: Scene, cfg: RenderConfig, cam: Camera) -> GeodesicEnv:
-    """Build the integrator environment in BH-centered coordinates."""
+    """Build the integrator environment in BH-centered coordinates.
+
+    The capture radius is the outer horizon: r_s = 2M for Schwarzschild,
+    r_+ = M + sqrt(M^2 - a^2) for Kerr (models/kerr.horizon_radius) --
+    capturing at 2M would wrongly swallow photons that orbit inside
+    r < 2M around a spinning hole."""
     rs = 2.0 * scene.bh.mass
     if cfg.r_escape > 0:
         r_escape = jnp.asarray(cfg.r_escape, jnp.float32)
@@ -89,10 +94,16 @@ def scene_env(scene: Scene, cfg: RenderConfig, cam: Camera) -> GeodesicEnv:
             center=scene.spheres.center - scene.bh.loc,
             radius=scene.spheres.radius,
         )
+    if scene.bh.spin is None:
+        r_horizon = rs
+    else:
+        from ..models.kerr import horizon_radius
+
+        r_horizon = horizon_radius(scene.bh.mass, scene.bh.spin)
     return GeodesicEnv(
         mass=scene.bh.mass,
         spin=scene.bh.spin,
-        r_capture=cfg.capture_factor * rs,
+        r_capture=cfg.capture_factor * r_horizon,
         r_escape=r_escape,
         lam_max=jnp.asarray(cfg.lam_max, jnp.float32),
         disk=disk,
