@@ -33,6 +33,10 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # Persistent compilation cache: kernel compiles on this stack go through
+    # a slow remote service; caching makes warm runs start in seconds.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     import jax.numpy as jnp
 
     from blackhole_geodesic_calculator_tpu.camera import Camera

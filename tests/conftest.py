@@ -7,7 +7,8 @@ comparisons (reference README.md:233).
 
 Note: this image registers a TPU PJRT plugin in ``sitecustomize`` before
 pytest starts, so the env-var route (JAX_PLATFORMS=cpu) alone is not enough;
-``jax.config.update("jax_platforms", "cpu")`` below overrides the plugin as
+``jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")`` below overrides the plugin as
 long as it runs before the first backend query, which conftest guarantees.
 """
 
@@ -22,6 +23,7 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
