@@ -38,6 +38,12 @@ def _cmd_render(args):
         cfg.height = args.height
     scene, cam, rcfg = build_scene(cfg)
 
+    if args.verbose:
+        from .render import render_stats
+
+        st = render_stats(scene, cam, rcfg)
+        print(json.dumps(st, indent=2))
+
     t0 = time.perf_counter()
     img = None
     for i, frame in render_progressive(scene, cam, rcfg):

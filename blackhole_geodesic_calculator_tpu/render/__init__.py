@@ -1,6 +1,7 @@
 """Rendering pipeline: rays -> geodesics -> events -> shading -> image."""
 
-from .limited import LimitedConfig, render_limited
+from .limited import LimitedConfig, SurrogateTable, render_limited
+from .stats import render_stats, settings_dump
 from .renderer import (
     RenderConfig,
     render_image,
@@ -11,6 +12,9 @@ from .renderer import (
 
 __all__ = [
     "LimitedConfig",
+    "SurrogateTable",
+    "render_stats",
+    "settings_dump",
     "render_limited",
     "RenderConfig",
     "render_image",

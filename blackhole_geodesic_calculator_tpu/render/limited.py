@@ -29,6 +29,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..camera.pinhole import Camera, generate_rays, pixel_grid
 from ..ops import states
@@ -61,6 +62,97 @@ class LimitedConfig:
     exit_tolerance: float = 0.1    # exit shell thickness (:273-278)
     test_output: bool = False      # debug gradient background (:390-396)
     debug_colors: bool = True      # rogue-ray color coding (README.md:234)
+    approx: bool = False           # surrogate table instead of the ODE (:60)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SurrogateTable:
+    """Jittable scattering table -- the reference's ``approx`` fast path
+    (``ApproxSchwarzschildGeodesic``, LimitedRelativisticRenderEngine.py:
+    39-40,269; planned as 'Tensorflow model or interpolation',
+    README.md:237).
+
+    Exact up to interpolation by spherical symmetry: the exit state of a
+    photon entering the influence sphere depends only on its impact
+    parameter b, so a 1D table (built once with the real integrator)
+    replaces every ODE solve with a gather + lerp + frame rotation.
+    Reference semantics preserved: rebuilt when ``exit_tolerance`` or
+    ``ratio_obj_to_blackhole`` change (:96-101), incompatible with the disk
+    (:499 forces disk off -- the surrogate stores no trajectory to test
+    against the z=0 plane).
+    """
+
+    b: Any         # (n,) impact parameters
+    end_loc: Any   # (n, 3) canonical-frame exit positions
+    end_dir: Any   # (n, 3) canonical-frame exit directions
+    captured: Any  # (n,) bool
+
+    @classmethod
+    def build(cls, mass=0.5, r_influence=20.0, exit_tolerance=0.1,
+              n=512, max_step=0.05, lam_max=200.0):
+        """Run the real integrator once over the canonical geometry:
+        enter at (-sqrt(R^2-b^2), b, 0) moving +x."""
+        R = r_influence
+        bs = jnp.linspace(0.0, R * 0.999, n)
+        x0 = jnp.stack([-jnp.sqrt(jnp.maximum(R * R - bs * bs, 0.0)),
+                        bs, jnp.zeros_like(bs)], -1)
+        d0 = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), (n, 3))
+        env = GeodesicEnv(
+            mass=jnp.asarray(mass, jnp.float32),
+            r_capture=jnp.asarray(2.0 * mass, jnp.float32),
+            r_escape=jnp.asarray(R * (1.0 + exit_tolerance), jnp.float32),
+            lam_max=jnp.asarray(lam_max, jnp.float32),
+        )
+        n_steps = int(np.ceil(lam_max / max_step))
+        cfg = IntegratorConfig(n_steps=n_steps, dt=max_step, dt_boost=1.0)
+        entry_in = x0 * (1.0 - 1e-4)
+        p0, E0 = null_init(entry_in, d0, env.mass, None)
+        s0 = states.init_state(entry_in, p0, E0)
+        s = integrate(env, s0, cfg)
+        ed = final_direction(env, s)
+        captured = (s.status == states.CAPTURED) | (
+            s.status == states.INSIDE_HORIZON) | (s.status == states.BUDGET)
+        return cls(b=bs, end_loc=s.x, end_dir=ed, captured=captured)
+
+    def trace(self, entry, d):
+        """Batched surrogate trace in BH-centered coordinates.
+
+        Returns (exit_loc, exit_dir, captured) -- the jittable twin of
+        ``compat.ApproxSchwarzschildGeodesic.generatedRayTracer``.
+        """
+        dn = d / jnp.maximum(
+            jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-20)
+        bvec = entry - jnp.sum(entry * dn, -1, keepdims=True) * dn
+        b = jnp.linalg.norm(bvec, axis=-1)
+        e1 = dn
+        safe = (b > 1e-6)[..., None]
+        ref = jnp.where(jnp.abs(dn[..., 0:1]) < 0.9,
+                        jnp.asarray([1.0, 0.0, 0.0]),
+                        jnp.asarray([0.0, 1.0, 0.0]))
+        fallback = jnp.cross(dn, ref)
+        fallback = fallback / jnp.maximum(
+            jnp.linalg.norm(fallback, axis=-1, keepdims=True), 1e-20)
+        e2 = jnp.where(safe, bvec / jnp.maximum(b[..., None], 1e-20),
+                       fallback)
+        e3 = jnp.cross(e1, e2)
+
+        idx = jnp.clip(jnp.searchsorted(self.b, b), 1, self.b.shape[0] - 1)
+        t = (b - self.b[idx - 1]) / jnp.maximum(
+            self.b[idx] - self.b[idx - 1], 1e-20)
+        t = jnp.clip(t, 0.0, 1.0)[..., None]
+        el = self.end_loc[idx - 1] * (1 - t) + self.end_loc[idx] * t
+        ed = self.end_dir[idx - 1] * (1 - t) + self.end_dir[idx] * t
+        cap = self.captured[idx - 1] | self.captured[idx]
+
+        def to_world(c):
+            return (c[..., 0:1] * e1 + c[..., 1:2] * e2 + c[..., 2:3] * e3)
+
+        exit_loc = to_world(el)
+        exit_dir = to_world(ed)
+        exit_dir = exit_dir / jnp.maximum(
+            jnp.linalg.norm(exit_dir, axis=-1, keepdims=True), 1e-20)
+        return exit_loc, exit_dir, cap
 
 
 def _ray_spheres(o, d, centers, radii, t_min=1e-5):
@@ -122,7 +214,8 @@ def _background(scene, lcfg, d):
 
 def render_limited_rays(scene: Scene, cam: Camera, cfg: RenderConfig,
                         lcfg: LimitedConfig, ys, xs,
-                        key=None) -> Array:
+                        key=None, table: SurrogateTable | None = None
+                        ) -> Array:
     o, d = generate_rays(cam, cfg.width, cfg.height, ys, xs, key)
 
     # --- stage 1: flat-space cast (reference :224-237) --------------------
@@ -130,40 +223,54 @@ def render_limited_rays(scene: Scene, cam: Camera, cfg: RenderConfig,
     hit1 = jnp.isfinite(t1)
     x1 = o + d * jnp.where(hit1, t1, 0.0)[..., None]
 
-    # --- stage 2: geodesic hand-off inside the sphere (:259-278) ----------
+    # --- stage 2: hand-off inside the sphere (:259-278) -------------------
     entry = x1 - scene.bh.loc
-    disk = None
-    if scene.disk is not None:
-        disk = DiskGeom(r_in=scene.disk.r_in, r_out=scene.disk.r_out)
-    env = GeodesicEnv(
-        mass=scene.bh.mass, spin=scene.bh.spin,
-        r_capture=2.0 * scene.bh.mass,
-        r_escape=jnp.asarray(lcfg.r_influence * (1.0 + lcfg.exit_tolerance),
-                             jnp.float32),
-        lam_max=jnp.asarray(cfg.lam_max, jnp.float32),
-        disk=disk,
-    )
-    # Pull the entry point just inside so the escape test doesn't fire
-    # immediately.  Rays that never enter the sphere are pre-terminated
-    # (ESCAPED) so the integrator freezes them at step 0 instead of
-    # tracing a discarded geodesic.
     entry_in = entry * (1.0 - 1e-4)
-    p0, E0 = null_init(entry_in, d, env.mass, env.spin)
-    s0 = states.init_state(entry_in, p0, E0)
-    s0.status = jnp.where(enters_bh, s0.status,
-                          jnp.full_like(s0.status, states.ESCAPED))
-    inside = env.radius(entry_in) <= env.r_capture
-    s0.status = jnp.where(inside, states.INSIDE_HORIZON, s0.status)
-    s = integrate(env, s0, cfg.integrator)
-    end_dir = final_direction(env, s)
-    exit_loc = s.x + scene.bh.loc
+    if lcfg.approx:
+        # Surrogate fast path (:269).  Reference semantics: disk forced off
+        # when approx is on (:499) -- the surrogate keeps no trajectory.
+        exit_rel, end_dir, cap_t = table.trace(entry_in, d)
+        exit_loc = exit_rel + scene.bh.loc
+        batch = cap_t.shape
+        captured = cap_t & enters_bh
+        outside_err = jnp.zeros(batch, bool)
+        disk_hit = jnp.zeros(batch, bool)
+        exited = enters_bh & ~cap_t
+        disk_x = None
+    else:
+        disk = None
+        if scene.disk is not None:
+            disk = DiskGeom(r_in=scene.disk.r_in, r_out=scene.disk.r_out)
+        env = GeodesicEnv(
+            mass=scene.bh.mass, spin=scene.bh.spin,
+            r_capture=2.0 * scene.bh.mass,
+            r_escape=jnp.asarray(
+                lcfg.r_influence * (1.0 + lcfg.exit_tolerance), jnp.float32),
+            lam_max=jnp.asarray(cfg.lam_max, jnp.float32),
+            disk=disk,
+        )
+        # Pull the entry point just inside so the escape test doesn't fire
+        # immediately.  Rays that never enter the sphere are pre-terminated
+        # (ESCAPED) so the integrator freezes them at step 0 instead of
+        # tracing a discarded geodesic.
+        p0, E0 = null_init(entry_in, d, env.mass, env.spin)
+        s0 = states.init_state(entry_in, p0, E0)
+        s0.status = jnp.where(enters_bh, s0.status,
+                              jnp.full_like(s0.status, states.ESCAPED))
+        inside = env.radius(entry_in) <= env.r_capture
+        s0.status = jnp.where(inside, states.INSIDE_HORIZON, s0.status)
+        s = integrate(env, s0, cfg.integrator)
+        end_dir = final_direction(env, s)
+        exit_loc = s.x + scene.bh.loc
 
-    # --- stage 3: classify the geodesic outcome (:283-314) ----------------
-    captured = (s.status == states.CAPTURED) | (
-        s.status == states.INSIDE_HORIZON)
-    outside_err = (s.status == states.BUDGET) | (s.status == states.ERROR)
-    disk_hit = s.status == states.DISK
-    exited = s.status == states.ESCAPED
+        # --- stage 3: classify the geodesic outcome (:283-314) ------------
+        captured = (s.status == states.CAPTURED) | (
+            s.status == states.INSIDE_HORIZON)
+        outside_err = (s.status == states.BUDGET) | (
+            s.status == states.ERROR)
+        disk_hit = s.status == states.DISK
+        exited = s.status == states.ESCAPED
+        disk_x = s.x
 
     # --- stage 4: flat re-cast from the exit point (:319-335) -------------
     t2, obj2, re_bh = _flat_cast(scene, lcfg, exit_loc, end_dir)
@@ -194,9 +301,9 @@ def render_limited_rays(scene: Scene, cam: Camera, cfg: RenderConfig,
             (rehit & (end_dir[..., 2] < 0))[..., None], BLUE, bh_color)
         bh_color = jnp.where(
             (rehit & (end_dir[..., 2] >= 0))[..., None], GREEN, bh_color)
-    if scene.disk is not None:
+    if scene.disk is not None and disk_x is not None:
         # disk color * intensity, background term black (:289-303)
-        disk_rgb = shade_disk(scene, s.x)
+        disk_rgb = shade_disk(scene, disk_x)
         bh_color = jnp.where(disk_hit[..., None], disk_rgb, bh_color)
     bh_color = jnp.where(captured[..., None], BLACK, bh_color)
     if lcfg.debug_colors:
@@ -207,14 +314,15 @@ def render_limited_rays(scene: Scene, cam: Camera, cfg: RenderConfig,
     return jnp.where(enters_bh[..., None], bh_color, color)
 
 
-def _render_limited_impl(scene, cam, cfg, lcfg, key):
+def _render_limited_impl(scene, cam, cfg, lcfg, key, table):
     x0, x1, y0, y1 = cfg.crop()
     ys, xs = pixel_grid(cfg.width, cfg.height, x0, x1, y0, y1)
     if cfg.samples == 1:
-        rgb = render_limited_rays(scene, cam, cfg, lcfg, ys, xs, None)
+        rgb = render_limited_rays(scene, cam, cfg, lcfg, ys, xs, None, table)
     else:
         def one(_, k):
-            return None, render_limited_rays(scene, cam, cfg, lcfg, ys, xs, k)
+            return None, render_limited_rays(scene, cam, cfg, lcfg, ys, xs,
+                                             k, table)
 
         _, rgbs = jax.lax.scan(one, None, jax.random.split(key, cfg.samples))
         rgb = jnp.mean(rgbs, axis=0)
@@ -227,10 +335,20 @@ _render_limited_jit = jax.jit(_render_limited_impl,
 
 
 def render_limited(scene: Scene, cam: Camera, cfg: RenderConfig,
-                   lcfg: LimitedConfig | None = None, key=None) -> Array:
-    """Full Gen-1 hybrid render -> (H, W, 4) RGBA."""
+                   lcfg: LimitedConfig | None = None, key=None,
+                   table: SurrogateTable | None = None) -> Array:
+    """Full Gen-1 hybrid render -> (H, W, 4) RGBA.
+
+    With ``lcfg.approx`` a ``SurrogateTable`` replaces the ODE solve; one is
+    built on the fly if not supplied (reference reload-on-parameter-change
+    semantics, LimitedRelativisticRenderEngine.py:96-101).
+    """
     if lcfg is None:
         lcfg = LimitedConfig()
     if key is None:
         key = jax.random.PRNGKey(cfg.seed)
-    return _render_limited_jit(scene, cam, cfg, lcfg, key)
+    if lcfg.approx and table is None:
+        table = SurrogateTable.build(
+            mass=float(scene.bh.mass), r_influence=lcfg.r_influence,
+            exit_tolerance=lcfg.exit_tolerance)
+    return _render_limited_jit(scene, cam, cfg, lcfg, key, table)

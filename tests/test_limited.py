@@ -127,3 +127,35 @@ def test_limited_test_output_background():
     # direction gradient: red channel everywhere 0
     assert (img[..., 0] < 1e-6).all()
     assert img[..., 1:3].max() > 0.01
+
+
+def test_limited_approx_surrogate_mode():
+    """The reference's approx mode: surrogate table instead of the ODE;
+    shadow and lensing must closely match the exact render (disk off --
+    approx forces it, LimitedRelativisticRenderEngine.py:499)."""
+    from blackhole_geodesic_calculator_tpu.render import SurrogateTable
+
+    scene = Scene(bh=BlackHole.make(mass=0.5), background=sky())
+    exact = np.asarray(render_limited(scene, CAM, CFG, LCFG))
+    approx = np.asarray(render_limited(
+        scene, CAM, CFG, dataclasses.replace(LCFG, approx=True)))
+    assert np.isfinite(approx).all()
+    # shadows agree
+    assert approx[16, 16, :3].max() < 1e-3
+    sh_e = (exact[..., :3].max(-1) < 1e-3)
+    sh_a = (approx[..., :3].max(-1) < 1e-3)
+    assert (sh_e != sh_a).mean() < 0.02
+    # lensed background close (interpolation error only)
+    diff = np.abs(exact[..., :3] - approx[..., :3])
+    assert np.median(diff) < 0.02
+
+
+def test_render_stats():
+    from blackhole_geodesic_calculator_tpu.render import render_stats
+
+    scene = Scene(bh=BlackHole.make(mass=0.5), background=sky())
+    st = render_stats(scene, CAM, CFG)
+    assert st["rays_total"] == 32 * 32
+    assert st["status"]["captured"] > 0 and st["status"]["escaped"] > 0
+    assert st["rogue_fraction"] == 0.0
+    assert st["settings"]["mass"] == 0.5
