@@ -69,22 +69,45 @@ def _cmd_animate(args):
     scene, cam, rcfg = build_scene(cfg)
     r = float(np.linalg.norm(np.asarray(cfg.camera_location)
                              - np.asarray(cfg.bh_loc)))
-    for f in range(args.frames):
-        phi = 2.0 * np.pi * f / args.frames
-        pos = np.asarray(cfg.bh_loc) + r * np.asarray(
-            [np.sin(phi), 0.0, np.cos(phi)])
-        # orbit in the x-z plane looking at the hole: euler_y = phi turns
-        # the camera's -z axis onto -(sin phi, 0, cos phi)
-        cam_f = dataclasses.replace(
-            cam,
-            position=jax.numpy.asarray(pos, jax.numpy.float32),
-            euler=jax.numpy.asarray([0.0, phi, 0.0], jax.numpy.float32))
-        img = np.asarray(render_image(scene, cam_f, rcfg))
-        if args.tonemap:
-            img = np.concatenate([tonemap(img[..., :3]), img[..., 3:]], -1)
-        path = args.out_pattern.format(frame=f)
-        write_png(path, img)
-        print(f"frame {f + 1}/{args.frames} -> {path}")
+
+    # Async IO pipeline: the native thread pool tonemaps/encodes/writes the
+    # previous frame while the device renders the next one.
+    writer = None
+    try:
+        from . import native
+
+        if native.available():
+            writer = native.FrameWriter(threads=4)
+    except Exception:
+        writer = None
+
+    try:
+        for f in range(args.frames):
+            phi = 2.0 * np.pi * f / args.frames
+            pos = np.asarray(cfg.bh_loc) + r * np.asarray(
+                [np.sin(phi), 0.0, np.cos(phi)])
+            # orbit in the x-z plane looking at the hole: euler_y = phi turns
+            # the camera's -z axis onto -(sin phi, 0, cos phi)
+            cam_f = dataclasses.replace(
+                cam,
+                position=jax.numpy.asarray(pos, jax.numpy.float32),
+                euler=jax.numpy.asarray([0.0, phi, 0.0], jax.numpy.float32))
+            img = np.asarray(render_image(scene, cam_f, rcfg))
+            if args.tonemap:
+                img = np.concatenate(
+                    [tonemap(img[..., :3]), img[..., 3:]], -1)
+            path = args.out_pattern.format(frame=f)
+            if writer is not None:
+                writer.submit(path, np.clip(img, 0.0, 1.0))
+            else:
+                write_png(path, img)
+            print(f"frame {f + 1}/{args.frames} -> {path}")
+    finally:
+        if writer is not None:
+            failures = writer.wait()
+            writer.close()
+            if failures:
+                raise RuntimeError(f"{failures} frame writes failed")
 
 
 def _cmd_precompute(args):

@@ -90,14 +90,21 @@ class GeodesicIntegratorSchwarzschild:
     program -- the per-pixel scipy solve becomes a batched TPU solve.
     """
 
-    def __init__(self, mass=0.5, time_like=False, verbose=False, spin=None):
+    def __init__(self, mass=0.5, time_like=False, verbose=False, spin=None,
+                 backend="jax"):
         if time_like:
             raise NotImplementedError(
                 "only null (photon) geodesics, as used by the reference "
                 "(time_like=False, RelativisticRenderEngine.py:134)")
+        if backend not in ("jax", "native"):
+            raise ValueError(f"unknown backend {backend!r}")
         self.mass = float(mass)
         self.spin = None if spin in (None, 0, 0.0) else float(spin)
         self.verbose = verbose
+        # 'native': the C++ f64 adaptive Dormand-Prince oracle (native/) --
+        # the closest twin of the reference's scipy solve_ivp RK45 path
+        # (adaptive steps, max_step honored as a hard cap).
+        self.backend = backend
 
     def _env(self, r_escape, curve_end):
         return GeodesicEnv(
@@ -128,6 +135,9 @@ class GeodesicIntegratorSchwarzschild:
         r0 = float(jnp.max(jnp.linalg.norm(x0, axis=-1)))
         resc = r_escape if r_escape is not None else max(
             2.0 * r0, 20.0 * 2.0 * self.mass + r0)
+        if self.backend == "native":
+            return self._calc_trajectory_native(
+                x0, d0, max_step, curve_end, nr_points_curve, resc, single)
         n_steps = max(1, int(np.ceil(curve_end / max_step)))
         n_store = min(n_steps, nr_points_curve)
         cfg = IntegratorConfig(n_steps=n_steps, dt=float(max_step),
@@ -162,6 +172,58 @@ class GeodesicIntegratorSchwarzschild:
         if (status == states.ERROR).any():
             result["error"] = np.where(status == states.ERROR,
                                        "Outside", "")
+        if single:
+            x_out, k_out = x_out[0], k_out[0]
+            result = {k: (v[0] if isinstance(v, np.ndarray) else v)
+                      for k, v in result.items()}
+        return k_out, x_out, result
+
+    def _calc_trajectory_native(self, x0, d0, max_step, curve_end,
+                                nr_points_curve, r_escape, single):
+        """f64 adaptive path via the C++ oracle (native/src/geodesic.cpp):
+        per-ray dense trajectories like the reference's scipy solve_ivp
+        (RelativisticRenderEngine.py:293-294), but multithreaded and in
+        Kerr-Schild Hamiltonian form."""
+        from . import native
+
+        x0 = np.asarray(x0, np.float64)
+        d0 = np.asarray(d0, np.float64)
+        n = x0.shape[0]
+        r_cap = 2.0 * self.mass if self.spin is None else (
+            self.mass + np.sqrt(max(self.mass ** 2 - self.spin ** 2, 0.0)))
+        kw = dict(mass=self.mass, spin=self.spin, r_capture=r_cap,
+                  r_escape=r_escape, lam_max=curve_end, max_step=max_step)
+        xs, ks, lams, statuses = [], [], [], []
+        for i in range(n):
+            tx, tp, tl, st, _ = native.trajectory(
+                x0[i], d0[i], max_points=int(nr_points_curve), **kw)
+            _, E = native.null_init(x0[i], d0[i], self.mass, self.spin)
+            v = np.stack([native.rhs(tx[j], tp[j], E, self.mass,
+                                     self.spin)[0]
+                          for j in range(tx.shape[0])])
+            xs.append(tx)
+            ks.append(v)
+            lams.append(tl[-1] if len(tl) else 0.0)
+            statuses.append(st)
+        status = np.asarray(statuses, np.int32)
+        inside0 = np.linalg.norm(x0, axis=-1) <= r_cap
+        end_loc = np.stack([t[-1] for t in xs])
+        end_dir = np.stack([k[-1] for k in ks])
+        end_dir = end_dir / np.maximum(
+            np.linalg.norm(end_dir, axis=-1, keepdims=True), 1e-300)
+        result = {
+            "start_inside_hole": inside0,
+            "hit_blackhole": (status == states.CAPTURED) | inside0,
+            "end_loc": end_loc,
+            "end_dir": end_dir,
+            "lam": np.asarray(lams),
+            "status": status,
+        }
+        if (status == states.ERROR).any():
+            result["error"] = np.where(status == states.ERROR, "Outside", "")
+        # (N, 3, T) ragged -> per-ray arrays; batch callers get lists
+        x_out = [t.T for t in xs]
+        k_out = [k.T for k in ks]
         if single:
             x_out, k_out = x_out[0], k_out[0]
             result = {k: (v[0] if isinstance(v, np.ndarray) else v)

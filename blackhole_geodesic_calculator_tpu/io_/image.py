@@ -48,6 +48,15 @@ def write_png(path: str, img, clip: bool = True) -> str:
         arr = (arr * 255.0 + 0.5).astype(np.uint8)
     if arr.ndim != 3 or arr.shape[2] not in (3, 4):
         raise ValueError(f"expected (H, W, 3|4), got {arr.shape}")
+    # Fastest first: the native C++ encoder (filtered + zlib), then PIL,
+    # then the dependency-free pure-Python fallback.
+    try:
+        from .. import native
+
+        if native.available() and path.lower().endswith(".png"):
+            return native.write_png(path, np.ascontiguousarray(arr))
+    except Exception:
+        pass
     try:
         from PIL import Image
 
@@ -66,6 +75,11 @@ def read_image(path: str) -> np.ndarray:
 
         img = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
         return img
-    except ImportError as e:  # pragma: no cover
-        raise RuntimeError(
-            "reading images requires PIL (writing does not)") from e
+    except ImportError:
+        pass
+    from .. import native  # 8-bit PNG / PFM decoder (no PIL needed)
+
+    if path.lower().endswith(".pfm"):
+        return np.clip(native.read_pfm(path), 0.0, 1.0)
+    arr = native.read_png(path)
+    return np.asarray(arr[..., :3], np.float32) / 255.0
