@@ -103,9 +103,15 @@ class IntegratorConfig:
     backend: str = "auto"
     remat_segment: int = 0       # 0 -> sqrt(n_steps); 1 -> no remat
     # Per-ray radius-proportional step growth: far from the hole curvature
-    # ~ M/r^2 is tiny, so steps can stretch.  dt_eff = dt*clip(r/r_ref, 1, boost)
+    # ~ M/r^2 is tiny, so steps can stretch.
+    #   dt_eff = dt * clip((r/r_ref)^dt_power, 1, boost)
+    # dt_power > 1 grows steps super-linearly in the far field, where the
+    # per-step bending ~ (2 M b / r^3) dt_eff still DECAYS as long as
+    # dt_power < 3 -- validated against the f64 oracle in
+    # tests/test_native.py::test_bench_schedule_accuracy.
     dt_boost: float = 8.0
     dt_boost_r_ref: float = 0.0  # 0 -> 6 M (twice the photon sphere)
+    dt_power: float = 1.0
     # Dormand-Prince controls (parity with scipy solve_ivp defaults rtol=1e-3,
     # atol=1e-6; reference passes max_step through, RelativisticRenderEngine.py:293)
     rtol: float = 1e-5
@@ -307,7 +313,14 @@ def _dt_eff(env: GeodesicEnv, cfg: IntegratorConfig, s: RayState):
     if cfg.dt_boost > 1.0:
         r_ref = cfg.dt_boost_r_ref or 6.0 * env.mass
         r = env.radius(s.x)
-        dt = dt * jnp.clip(r / r_ref, 1.0, cfg.dt_boost)
+        ratio = r / r_ref
+        if cfg.dt_power == 1.5:          # cheap sqrt form of the hot case
+            ratio = ratio * jnp.sqrt(jnp.maximum(ratio, 0.0))
+        elif cfg.dt_power == 2.0:
+            ratio = ratio * ratio
+        elif cfg.dt_power != 1.0:
+            ratio = jnp.maximum(ratio, 1e-20) ** cfg.dt_power
+        dt = dt * jnp.clip(ratio, 1.0, cfg.dt_boost)
     return dt
 
 

@@ -242,3 +242,40 @@ def test_write_png_io_integration(tmp_path, rng):
     back = read_image(p)
     assert back.shape == (19, 29, 3)
     assert np.abs(back - np.clip(img, 0, 1)).max() < 1.0 / 255 + 1e-6
+
+
+def test_bench_schedule_accuracy():
+    """The bench.py step schedule (n=152, dt=0.08, boost=96, r_ref=1.2)
+    must stay sub-pixel-accurate against the f64 oracle: worst escape
+    direction error < 7.8e-4 rad (one pixel of the 1024px/0.8rad flagship
+    camera), every ray finished, capture set identical."""
+    n = 65
+    b = np.concatenate([np.linspace(2.0, 3.5, 33), np.linspace(3.6, 12.0, n - 33)])
+    x0 = np.stack([b, np.zeros(n), np.full(n, 25.0)], -1)
+    d0 = np.tile([0.0, 0.0, -1.0], (n, 1))
+    oracle = native.integrate_batch(x0, d0, mass=0.5, r_capture=1.0,
+                                    r_escape=70.0, lam_max=100.0,
+                                    rtol=1e-11, atol=1e-13)
+
+    env = GeodesicEnv(mass=jnp.float32(0.5), r_capture=jnp.float32(1.0),
+                      r_escape=jnp.float32(70.0), lam_max=jnp.float32(100.0))
+    cfg = IntegratorConfig(n_steps=152, dt=0.08, dt_boost=96.0,
+                           dt_boost_r_ref=1.2)
+    s = launch(env, jnp.asarray(x0, jnp.float32),
+               jnp.asarray(d0, jnp.float32), cfg)
+    st = np.asarray(s.status)
+    assert (st != states.ACTIVE).all(), "rays left unfinished"
+    cap = st == states.CAPTURED
+    cap_o = oracle["status"] == states.CAPTURED
+    assert (cap == cap_o).all(), "capture set disagrees with oracle"
+
+    esc = (st == states.ESCAPED) & (oracle["status"] == states.ESCAPED)
+    d_jax = np.asarray(final_direction(env, s))[esc]
+    d_o = np.stack([
+        native.rhs(oracle["x"][i], oracle["p"][i],
+                   native.null_init(x0[i], d0[i], 0.5, None)[1], 0.5,
+                   None)[0]
+        for i in range(n)])[esc]
+    d_o /= np.linalg.norm(d_o, axis=1, keepdims=True)
+    ang = np.arccos(np.clip(np.sum(d_jax * d_o, -1), -1, 1))
+    assert ang.max() < 7.8e-4, f"worst deflection err {ang.max():.2e} rad"
