@@ -9,8 +9,13 @@ gradient-all-reduced training steps.
 from .mesh import make_mesh, ray_sharding, replicated, RAY_AXIS, SAMPLE_AXIS
 from .render import render_image_sharded
 from .train import Trainer, default_loss
+from .multihost import (
+    init_distributed, global_mesh, gather_image, render_shards_with_retry,
+)
 
 __all__ = [
     "make_mesh", "ray_sharding", "replicated", "RAY_AXIS", "SAMPLE_AXIS",
     "render_image_sharded", "Trainer", "default_loss",
+    "init_distributed", "global_mesh", "gather_image",
+    "render_shards_with_retry",
 ]

@@ -1,0 +1,106 @@
+"""Multi-host execution + failure recovery.
+
+The reference's cluster story is file-level frame farming on Snellius with
+no in-repo code ("V Run on snellius / V Parallelization",
+/root/reference/README.md:238-240) and no failure handling beyond per-ray
+error colors (LimitedRelativisticRenderEngine.py:311-314).  The TPU-native
+equivalents here:
+
+* ``init_distributed`` -- ``jax.distributed.initialize`` wrapper so the same
+  script runs single-host or on an N-host pod slice (collectives ride
+  ICI/DCN via the mesh; nothing else changes).
+* ``global_mesh`` -- (samples, rays) mesh over ALL global devices.
+* ``gather_image`` -- host-side framebuffer assembly (process allgather of
+  each host's shard), the counterpart of the reference's per-row
+  ``update_result`` flushes into Blender.
+* ``render_shards_with_retry`` -- fault tolerance by construction: the
+  renderer is a pure seeded function of (scene, cam, pixel coords), so a
+  failed/preempted shard is simply re-rendered deterministically.  Failures
+  surface as per-shard exceptions (device OOM, preemption, interconnect
+  resets); the image is bit-identical no matter how many retries happened.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .mesh import make_mesh
+
+
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> bool:
+    """Initialize multi-host JAX; no-op (returns False) when single-host.
+
+    With no arguments, relies on the cluster environment (TPU pod metadata /
+    JAX_COORDINATOR_ADDRESS) the way ``jax.distributed.initialize`` does.
+    Safe to call twice.
+    """
+    if num_processes is not None and num_processes <= 1:
+        return False
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        return True
+    except RuntimeError as e:  # already initialized
+        if "already" in str(e).lower():
+            return True
+        raise
+
+
+def global_mesh(sample_parallel: int = 1):
+    """(samples, rays) mesh over all global devices (every host calls this
+    with the same arguments; jax.devices() is globally consistent)."""
+    return make_mesh(jax.devices(), sample_parallel=sample_parallel)
+
+
+def gather_image(local_part, axis: int = 0):
+    """Allgather per-host image shards into the full framebuffer on every
+    host (the multi-host analogue of the reference's progressive
+    ``update_result`` flush, RelativisticRenderEngine.py:161-166)."""
+    from jax.experimental import multihost_utils
+
+    if jax.process_count() == 1:
+        return np.asarray(local_part)
+    gathered = multihost_utils.process_allgather(jnp.asarray(local_part))
+    return np.concatenate(np.asarray(gathered), axis=axis)
+
+
+def render_shards_with_retry(
+    render_shard: Callable[[int], np.ndarray],
+    n_shards: int,
+    max_retries: int = 2,
+    backoff_s: float = 1.0,
+    on_event: Callable[[str], None] | None = None,
+) -> list[np.ndarray]:
+    """Run ``render_shard(i)`` for every shard with deterministic retry.
+
+    ``render_shard`` must be pure given the shard index (the renderers are:
+    pixel coords + seed fully determine every ray), so a retried shard
+    produces bit-identical pixels and the assembled image does not depend on
+    the failure history.  After ``max_retries`` failed attempts the shard's
+    exception propagates (fail-stop beats silently black tiles).
+    """
+    log = on_event or (lambda msg: None)
+    out: list[np.ndarray] = []
+    for i in range(n_shards):
+        attempt = 0
+        while True:
+            try:
+                out.append(np.asarray(render_shard(i)))
+                break
+            except Exception as e:  # noqa: BLE001 -- retry any shard fault
+                attempt += 1
+                log(f"shard {i} attempt {attempt} failed: {e!r}")
+                if attempt > max_retries:
+                    raise
+                time.sleep(backoff_s * attempt)
+    return out
