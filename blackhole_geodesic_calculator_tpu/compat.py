@@ -105,6 +105,17 @@ class GeodesicIntegratorSchwarzschild:
         # the closest twin of the reference's scipy solve_ivp RK45 path
         # (adaptive steps, max_step honored as a hard cap).
         self.backend = backend
+        # curvedpy exposes sympy metric objects (SW.g, SW.gam_y -- reference
+        # README.md:174-186); here the same names are batched numeric
+        # closures over the Metric family: g(x4) -> (..., 4, 4) and
+        # gam_y(x4) -> (..., 4, 4, 4) Christoffels via forward-mode AD.
+        from .models import kerr_ks_metric, schwarzschild_ks_metric
+
+        self.metric_obj = (
+            schwarzschild_ks_metric(self.mass) if self.spin is None
+            else kerr_ks_metric(self.mass, self.spin))
+        self.g = self.metric_obj.g
+        self.gam_y = self.metric_obj.christoffel
 
     def _env(self, r_escape, curve_end):
         return GeodesicEnv(
@@ -252,6 +263,13 @@ class SchwarzschildGeodesic:
             raise ValueError(f"unknown metric {metric!r}")
         self.metric = metric
         self.mass = float(mass) if metric == "schwarzschild" else 0.0
+        # numeric twins of curvedpy's sympy SW.g / SW.gam_y (README.md:174-186)
+        from .models import flat_metric, schwarzschild_ks_metric
+
+        self.metric_obj = (flat_metric() if metric == "flat"
+                           else schwarzschild_ks_metric(self.mass))
+        self.g = self.metric_obj.g
+        self.gam_y = self.metric_obj.christoffel
 
     def approximateCurveEnd(self, ratio):
         """Affine-length budget heuristic; the reference's commented formula
@@ -481,6 +499,38 @@ class RelativisticCamera:
             print(f"RelativisticCamera.run: {h}x{w}, a={self.a}, "
                   f"captured {int(hit.sum())}/{h * w}")
         return self
+
+    def render(self, background=None, test_output=False):
+        """Shade the precomputed ray field -> (H, W, 4) RGBA.
+
+        Exactly the Gen-3 engine's shading pass
+        (RelativisticRenderEngineCamEdition.py:224-229,424-443): black where
+        ``ray_blackhole_hit``, else equirect lookup of the stored exit
+        direction (renormalized, :433-437); a missing background renders
+        red (:441-443); ``test_output`` uses the direction-gradient debug
+        background instead.
+        """
+        if self.ray_end is None:
+            raise RuntimeError("run() or load() the camera first")
+        import jax.numpy as jnp_
+
+        from .scene.texture import sample_equirect
+
+        h, w = self.resolution
+        d = np.asarray(self.ray_end[..., 3:6], np.float32)
+        d = d / np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-20)
+        if test_output:
+            rgb = 0.5 * (d + 1.0)
+        elif background is None:
+            rgb = np.broadcast_to(
+                np.asarray([1.0, 0.0, 0.0], np.float32), (h, w, 3)).copy()
+        else:
+            rgb = np.asarray(sample_equirect(
+                jnp_.asarray(background, jnp_.float32), jnp_.asarray(d)))
+        hit = np.asarray(self.ray_blackhole_hit, bool)
+        rgb = np.where(hit[..., None], 0.0, rgb)
+        return np.concatenate(
+            [rgb, np.ones((h, w, 1), np.float32)], axis=-1)
 
     def save(self, path):
         np.savez_compressed(

@@ -2,6 +2,7 @@
 
 from .limited import LimitedConfig, SurrogateTable, render_limited
 from .stats import render_stats, settings_dump
+from .debug import debug_rays, format_debug_string
 from .renderer import (
     RenderConfig,
     render_image,
@@ -14,6 +15,8 @@ __all__ = [
     "LimitedConfig",
     "SurrogateTable",
     "render_stats",
+    "debug_rays",
+    "format_debug_string",
     "settings_dump",
     "render_limited",
     "RenderConfig",

@@ -150,3 +150,110 @@ def test_relativistic_camera_kerr():
     assert np.isfinite(cam9.ray_end).all()
     assert cam0.ray_blackhole_hit.sum() > 0
     assert (cam0.ray_blackhole_hit != cam9.ray_blackhole_hit).any()
+
+
+def test_metric_objects_on_compat_classes():
+    """curvedpy's sympy SW.g / SW.gam_y equivalents: numeric metric tensor
+    and Christoffels (reference README.md:174-186)."""
+    import jax.numpy as jnp
+    from blackhole_geodesic_calculator_tpu.compat import (
+        GeodesicIntegratorSchwarzschild, SchwarzschildGeodesic,
+    )
+
+    gi = GeodesicIntegratorSchwarzschild(mass=0.5)
+    x4 = jnp.asarray([0.0, 5.0, 1.0, -2.0])
+    g = np.asarray(gi.g(x4))
+    assert g.shape == (4, 4)
+    np.testing.assert_allclose(g, g.T, atol=1e-6)  # symmetric
+    gam = np.asarray(gi.gam_y(x4))
+    assert gam.shape == (4, 4, 4)
+    np.testing.assert_allclose(gam, np.swapaxes(gam, 1, 2), atol=1e-5)
+
+    # flat metric: Minkowski everywhere, zero Christoffels
+    sw = SchwarzschildGeodesic(metric="flat")
+    gf = np.asarray(sw.g(x4))
+    np.testing.assert_allclose(gf, np.diag([-1.0, 1, 1, 1]), atol=1e-6)
+    assert np.abs(np.asarray(sw.gam_y(x4))).max() < 1e-6
+    # Kerr spins the metric object too
+    gk = GeodesicIntegratorSchwarzschild(mass=0.5, spin=0.6)
+    assert np.isfinite(np.asarray(gk.gam_y(x4))).all()
+
+
+def test_relativistic_camera_render():
+    """Gen-3 shading pass: black shadow where captured, equirect background
+    elsewhere, red for a missing texture, test_output gradient
+    (RelativisticRenderEngineCamEdition.py:224-229,424-443)."""
+    from blackhole_geodesic_calculator_tpu.compat import RelativisticCamera
+
+    cam = RelativisticCamera(resolution=(24, 24), field_of_view=(0.8, 0.8),
+                             mass=0.5, camera_location=(0.0, 0.0, 15.0),
+                             max_step=0.2, curve_end=80.0)
+    cam.run()
+    assert cam.ray_blackhole_hit.sum() > 4  # central shadow exists
+
+    v, u = np.meshgrid(np.arange(8), np.arange(16), indexing="ij")
+    sky = np.stack([u / 16.0, v / 8.0, np.ones_like(u, float)], -1)
+    img = cam.render(background=sky)
+    assert img.shape == (24, 24, 4)
+    hit = cam.ray_blackhole_hit.astype(bool)
+    assert np.abs(img[hit][:, :3]).max() == 0.0           # shadow black
+    assert (img[~hit][:, :3].max(-1) > 0.0).all()         # sky shaded
+
+    red = cam.render(background=None)
+    expect = np.broadcast_to(np.asarray([1.0, 0.0, 0.0], np.float32),
+                             red[~hit][:, :3].shape)
+    np.testing.assert_allclose(red[~hit][:, :3], expect, atol=0)
+    dbg = cam.render(test_output=True)
+    assert np.isfinite(dbg).all() and dbg[..., :3].max() <= 1.0
+
+
+def test_texture_registry():
+    from blackhole_geodesic_calculator_tpu.scene import (
+        TEXTURES, load_all, load_texture,
+    )
+
+    assert {"background", "moon", "test", "disk_clouds"} <= set(TEXTURES)
+    tex = load_texture("background", size=(64, 128))
+    assert tex.shape == (64, 128, 3) and tex.dtype == np.float32
+    assert 0.0 <= tex.min() and tex.max() <= 1.0
+    # idempotent cache: same object back
+    assert load_texture("background", size=(64, 128)) is tex
+    # distinct kinds differ
+    moon = load_texture("moon", size=(64, 128))
+    assert not np.array_equal(moon, tex)
+    allt = load_all()
+    assert set(allt) == set(TEXTURES)
+    with pytest.raises(KeyError):
+        load_texture("nope")
+
+
+def test_debug_rays_crop():
+    """debug_rays matches the reference's marked-pixel debug_string dump
+    (LimitedRelativisticRenderEngine.py:123-141,304-305)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from blackhole_geodesic_calculator_tpu.camera import Camera
+    from blackhole_geodesic_calculator_tpu.ops import IntegratorConfig
+    from blackhole_geodesic_calculator_tpu.render import (
+        RenderConfig, debug_rays, format_debug_string,
+    )
+    from blackhole_geodesic_calculator_tpu.scene import BlackHole, Scene
+
+    v, u = np.meshgrid(np.arange(8), np.arange(16), indexing="ij")
+    sky = jnp.asarray(np.stack([u / 16.0, v / 8.0, 0 * u + 1.0], -1),
+                      jnp.float32)
+    scene = Scene(bh=BlackHole.make(mass=0.5), background=sky)
+    cam = Camera.make(position=(0.0, 0.0, 15.0), fov=(0.7, 0.7))
+    cfg = RenderConfig(width=32, height=32,
+                       integrator=IntegratorConfig(n_steps=64, dt=0.2),
+                       lam_max=60.0,
+                       mark_x_min=14, mark_x_max=17,
+                       mark_y_min=15, mark_y_max=16)
+    rec = debug_rays(scene, cam, cfg)
+    assert len(rec["ys"]) == 4 * 2
+    assert rec["xs"].min() == 14 and rec["xs"].max() == 17
+    # central rays point at the hole and get captured
+    from blackhole_geodesic_calculator_tpu.ops import states as st
+    assert (rec["status"] == st.CAPTURED).any()
+    s = format_debug_string(rec)
+    assert "end_loc=" in s and s.count("\n") == 7
