@@ -54,6 +54,10 @@ class SceneConfig:
     disk_stddev: float = 0.2
     disk_intensity: float = 1.0
     disk_texture: str = ""
+    # relativistic beaming exponent (0/None = off, 4.0 = bolometric) and
+    # orbit direction (+1 prograde / -1 retrograde); beyond-reference physics
+    disk_beaming: float = 0.0
+    disk_orbit_dir: float = 1.0
     # Kerr spin (Gen-3 'a', RelativisticRenderEngineCamEdition.py:210)
     spin: float = 0.0
 
@@ -113,7 +117,9 @@ def build_scene(cfg: SceneConfig) -> tuple[Scene, Camera, RenderConfig]:
             r_in=cfg.disk_R_in, r_out=cfg.disk_R_out,
             texture=_texture(cfg.disk_texture, (1.0, 0.6, 0.2)),
             phase=cfg.disk_phase, mean=cfg.disk_mean,
-            stddev=cfg.disk_stddev, intensity=cfg.disk_intensity)
+            stddev=cfg.disk_stddev, intensity=cfg.disk_intensity,
+            beaming=cfg.disk_beaming if cfg.disk_beaming else None,
+            orbit_dir=cfg.disk_orbit_dir)
 
     spheres = None
     if cfg.spheres:

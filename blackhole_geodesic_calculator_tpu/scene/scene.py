@@ -58,13 +58,23 @@ class Disk:
     stddev: Any
     intensity: Any
     texture: Any  # (H, W, 3)
+    # Relativistic beaming (BEYOND the reference -- its "Add redshift"
+    # milestone is unchecked, reference README.md:217-220).  None disables
+    # statically (exact reference parity).  A number enables Keplerian
+    # disk kinematics and scales emission by g**beaming where
+    # g = E_inf / E_emitted is the combined gravitational + Doppler shift
+    # (4.0 = bolometric invariant I ~ g^4, 3.0 = photon-count).
+    beaming: Any = None
+    orbit_dir: Any = None  # +1 prograde (default), -1 retrograde
 
     @classmethod
     def make(cls, r_in, r_out, texture, phase=0.0, mean=0.5, stddev=0.2,
-             intensity=1.0):
+             intensity=1.0, beaming=None, orbit_dir=1.0):
         return cls(r_in=_f(r_in), r_out=_f(r_out), phase=_f(phase),
                    mean=_f(mean), stddev=_f(stddev), intensity=_f(intensity),
-                   texture=_f(texture))
+                   texture=_f(texture),
+                   beaming=None if beaming is None else _f(beaming),
+                   orbit_dir=_f(orbit_dir))
 
 
 @jax.tree_util.register_dataclass

@@ -37,7 +37,47 @@ def shade_background(scene: Scene, directions: Array) -> Array:
     return sample_equirect(scene.background, d)
 
 
-def shade_disk(scene: Scene, hit_point: Array) -> Array:
+def disk_redshift(x: Array, p: Array, E: Array, mass, spin=None,
+                  orbit_dir=1.0) -> Array:
+    """Combined gravitational + Doppler shift g = E_inf / E_emitted of a
+    photon crossing the equatorial disk, for matter on Keplerian circular
+    orbits (physics beyond the reference: its 'Add redshift' milestone is
+    unchecked, reference README.md:217-220).
+
+    Standard Kerr equatorial circular-orbit kinematics (geometrized units,
+    Boyer-Lindquist radius; the BL and Kerr-Schild phi/t resummation leaves
+    the Killing charges E = -p_t and L_z = p_phi invariant, so both come
+    straight from the integrator state):
+
+        Omega = s sqrt(M) / (r^(3/2) + s a sqrt(M)),       s = orbit_dir
+        u^t   = (r^(3/2) + s a sqrt(M))
+                / (r^(3/4) sqrt(r^(3/2) - 3 M sqrt(r) + s 2 a sqrt(M)))
+        L_z   = x p_y - y p_x
+        g     = E / (u^t (E - Omega L_z))
+
+    Face-on limit (L_z -> 0, a = 0): g = sqrt(1 - 3M/r), the textbook
+    result.  Inside the innermost circular photon orbit (u^t undefined) the
+    factor is driven to 0 -- no stable emitter, rendered dark.
+    """
+    a = jnp.asarray(0.0 if spin is None else spin, jnp.float32)
+    s = jnp.asarray(orbit_dir, jnp.float32)
+    rho2 = x[..., 0] ** 2 + x[..., 1] ** 2
+    r = jnp.sqrt(jnp.maximum(rho2 - a * a, 1e-12))  # BL radius at z = 0
+    sqr = jnp.sqrt(r)
+    sqM = jnp.sqrt(jnp.maximum(mass, 1e-20))
+    omega = s * sqM / (r * sqr + s * a * sqM)
+    denom2 = r * sqr - 3.0 * mass * sqr + s * 2.0 * a * sqM
+    ut = (r * sqr + s * a * sqM) / (
+        r ** 0.75 * jnp.sqrt(jnp.maximum(denom2, 1e-12)))
+    lz = x[..., 0] * p[..., 1] - x[..., 1] * p[..., 0]
+    e_emit = ut * jnp.maximum(E - omega * lz, 1e-12)
+    g = E / jnp.maximum(e_emit, 1e-12)
+    # no circular orbits inside the photon orbit: emit nothing
+    return jnp.where(denom2 > 1e-12, g, 0.0)
+
+
+def shade_disk(scene: Scene, hit_point: Array, p: Array | None = None,
+               E: Array | None = None) -> Array:
     """Accretion-disk shader, exactly checkHitDisk's model
     (LimitedRelativisticRenderEngine.py:423-436):
 
@@ -56,7 +96,13 @@ def shade_disk(scene: Scene, hit_point: Array) -> Array:
     tex_x = (disk.phase + safe_arccos(x / jnp.maximum(rr, 1e-20)) * sign_y
              ) / jnp.pi
     rgb = sample_bpy(disk.texture, tex_x, s)
-    return rgb * intensity[..., None]
+    out = rgb * intensity[..., None]
+    if disk.beaming is not None and p is not None:
+        g = disk_redshift(hit_point, p, E, scene.bh.mass, scene.bh.spin,
+                          disk.orbit_dir if disk.orbit_dir is not None
+                          else 1.0)
+        out = out * (g ** disk.beaming)[..., None]
+    return out
 
 
 def _occluded(scene: Scene, origin: Array, direction: Array, dist: Array,
@@ -145,7 +191,7 @@ def shade(scene: Scene, s: RayState, end_dir: Array) -> Array:
     st = s.status
     color = shade_background(scene, end_dir)  # ESCAPED and BUDGET
     if scene.disk is not None:
-        disk_rgb = shade_disk(scene, s.x)
+        disk_rgb = shade_disk(scene, s.x, s.p, s.E)
         color = jnp.where((st == states.DISK)[..., None], disk_rgb, color)
     if scene.spheres is not None:
         obj_rgb = shade_sphere(scene, s)
