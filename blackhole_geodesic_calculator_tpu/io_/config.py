@@ -75,6 +75,10 @@ class SceneConfig:
     height: int = 256
     n_steps: int = 512
     backend: str = "auto"
+    # radius-proportional step growth (ops/integrate.IntegratorConfig)
+    dt_boost: float = 8.0
+    dt_boost_r_ref: float = 0.0
+    dt_power: float = 1.0
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)
@@ -93,10 +97,21 @@ def load_config(path: str) -> SceneConfig:
         return SceneConfig.from_dict(json.load(f))
 
 
+def _resolve_image(spec: str):
+    """Image path OR a scene.textures registry name ('background', 'moon',
+    'disk_clouds', ...) -> (H, W, 3) float array."""
+    from ..scene.textures import TEXTURES, load_texture
+
+    if spec in TEXTURES:
+        return jnp.asarray(load_texture(spec))
+    return jnp.asarray(read_image(spec))
+
+
 def _texture(spec, default_color=(1.0, 1.0, 1.0), shape=(8, 8)):
-    """Texture spec: image path | [r, g, b] | None -> (H, W, 3) array."""
+    """Texture spec: registry name | image path | [r, g, b] | None
+    -> (H, W, 3) array."""
     if isinstance(spec, str) and spec:
-        return jnp.asarray(read_image(spec))
+        return _resolve_image(spec)
     if isinstance(spec, (list, tuple)) and len(spec) == 3:
         return jnp.broadcast_to(
             jnp.asarray(spec, jnp.float32), shape + (3,)).copy()
@@ -109,7 +124,7 @@ def build_scene(cfg: SceneConfig) -> tuple[Scene, Camera, RenderConfig]:
     step of the reference (RelativisticRenderEngine.py:57-118)."""
     background = None
     if cfg.sky_image:
-        background = jnp.asarray(read_image(cfg.sky_image))
+        background = _resolve_image(cfg.sky_image)
 
     disk = None
     if cfg.disk_on:
@@ -159,7 +174,8 @@ def build_scene(cfg: SceneConfig) -> tuple[Scene, Camera, RenderConfig]:
         seed=cfg.sampling_seed,
         integrator=IntegratorConfig(
             n_steps=cfg.n_steps, dt=cfg.max_integration_step,
-            backend=cfg.backend),
+            backend=cfg.backend, dt_boost=cfg.dt_boost,
+            dt_boost_r_ref=cfg.dt_boost_r_ref, dt_power=cfg.dt_power),
         lam_max=cfg.integration_depth if cfg.integration_depth > 0
         else np.inf,
         mark_x_min=cfg.mark_x_min, mark_x_max=cfg.mark_x_max,
