@@ -28,8 +28,8 @@ detection, termination -- runs inside one Pallas kernel:
 
 The step physics MUST match ops/integrate.py exactly (the XLA path is the
 reference implementation and the CPU/test path); tests enforce close
-parity.  Kerr (spin != None) uses the same kernels with the Kerr-Schild
-RHS generated by in-kernel autodiff of the Hamiltonian potential.
+parity.  Kerr (spin != None) uses the same kernels with a hand-derived
+analytic Kerr-Schild RHS (the SoA twin of native/src/geodesic.cpp).
 """
 
 from __future__ import annotations
@@ -67,9 +67,9 @@ def _soa_step(xp, lam, status, hit_obj, scal, sph, *, has_disk, n_sph,
     and is exactly the identity, which lets kernels pad the trip count to a
     chunk/segment multiple while integrating EXACTLY n_steps steps.
     ``kerr=True`` switches the RHS to the Kerr-Schild family with spin
-    ``a = scal[9]`` (dp via in-kernel autodiff of the Hamiltonian potential,
-    exactly ops/geodesic.ks_rhs) and the termination/step radius to the
-    Kerr-Schild radius.
+    ``a = scal[9]`` (hand-derived analytic gradient, equal to
+    ops/geodesic.ks_rhs -- parity tested) and the termination/step radius
+    to the Kerr-Schild radius.
     """
     x0, x1, x2, p0, p1, p2, E = xp
     mass = scal[0]
@@ -122,28 +122,61 @@ def _soa_step(xp, lam, status, hit_obj, scal, sph, *, has_disk, n_sph,
         return (b0 - uw * n0, b1 - uw * n1, b2 - uw * n2,
                 cp * b0 - cn * n0, cp * b1 - cn * n1, cp * b2 - cn * n2)
 
-    def ks_Hl(a0, a1, a2):
-        """(H, l) of the Kerr-Schild family (models/kerr.ks_scalars)."""
-        r = ks_r(a0, a1, a2)
-        r2a2 = r * r + spin * spin
-        l0 = (r * a0 + spin * a1) / r2a2
-        l1 = (r * a1 - spin * a0) / r2a2
-        l2 = a2 / r
-        H = mass * r**3 / (r**4 + spin * spin * a2 * a2)
-        return H, l0, l1, l2
-
     def rhs_kerr(a0, a1, a2, b0, b1, b2):
-        def potential(c0, c1, c2):
-            H, l0, l1, l2 = ks_Hl(c0, c1, c2)
-            w = E + l0 * b0 + l1 * b1 + l2 * b2
-            return jnp.sum(H * w * w)
+        """Analytic Kerr-Schild RHS: dp = +d/dx [H w^2] with the gradient
+        hand-derived via implicit differentiation of the KS radius
+        (dr/dx_i = (r^2 x_i + a^2 z delta_i2)/(r S), S = 2r^2 - (rho^2-a^2))
+        -- the SoA twin of native/src/geodesic.cpp::rhs, ~2x cheaper than
+        per-step jax.grad of the potential (verified equal in tests)."""
+        rho2 = a0 * a0 + a1 * a1 + a2 * a2
+        bq = rho2 - spin * spin
+        S = jnp.sqrt(bq * bq + 4.0 * spin * spin * a2 * a2)
+        r2 = jnp.maximum(0.5 * (bq + S), 1e-12)
+        r = jnp.sqrt(r2)
+        inv_rS = 1.0 / jnp.maximum(r * S, 1e-12)
+        az = spin * spin * a2
+        dr0 = r2 * a0 * inv_rS
+        dr1 = r2 * a1 * inv_rS
+        dr2 = (r2 * a2 + az) * inv_rS
 
-        H, l0, l1, l2 = ks_Hl(a0, a1, a2)
+        A = r2 + spin * spin
+        inv_A = 1.0 / A
+        l0 = (r * a0 + spin * a1) * inv_A
+        l1 = (r * a1 - spin * a0) * inv_A
+        l2 = a2 / r
+        D = r2 * r2 + az * a2
+        inv_D = 1.0 / D
+        H = mass * r * r2 * inv_D
+
         w = E + l0 * b0 + l1 * b1 + l2 * b2
         q = 2.0 * H
-        dp0, dp1, dp2 = jax.grad(potential, argnums=(0, 1, 2))(a0, a1, a2)
-        return (b0 - q * w * l0, b1 - q * w * l1, b2 - q * w * l2,
-                dp0, dp1, dp2)
+
+        # dH/dx_i = M(3 r^2 D - 4 r^6) dr_i / D^2 - 2 M a^2 z r^3 d_i2 / D^2
+        hcoef = mass * (3.0 * r2 * D - 4.0 * r2 * r2 * r2) * inv_D * inv_D
+        dH0 = hcoef * dr0
+        dH1 = hcoef * dr1
+        dH2 = hcoef * dr2 - 2.0 * mass * az * r * r2 * inv_D * inv_D
+
+        # dw_i = b_j dl_j/dx_i (quotient rule; dA/dx_i = 2 r dr_i)
+        twoR_A2 = 2.0 * r * inv_A * inv_A
+        n0 = r * a0 + spin * a1
+        n1 = r * a1 - spin * a0
+        inv_r2 = 1.0 / r2
+        dw0 = (b0 * ((dr0 * a0 + r) * inv_A - n0 * twoR_A2 * dr0)
+               + b1 * ((dr0 * a1 - spin) * inv_A - n1 * twoR_A2 * dr0)
+               + b2 * (-a2 * dr0 * inv_r2))
+        dw1 = (b0 * ((dr1 * a0 + spin) * inv_A - n0 * twoR_A2 * dr1)
+               + b1 * ((dr1 * a1 + r) * inv_A - n1 * twoR_A2 * dr1)
+               + b2 * (-a2 * dr1 * inv_r2))
+        dw2 = (b0 * (dr2 * a0 * inv_A - n0 * twoR_A2 * dr2)
+               + b1 * (dr2 * a1 * inv_A - n1 * twoR_A2 * dr2)
+               + b2 * (1.0 / r - a2 * dr2 * inv_r2))
+
+        w2 = w * w
+        qw = q * w
+        return (b0 - qw * l0, b1 - qw * l1, b2 - qw * l2,
+                w2 * dH0 + qw * dw0, w2 * dH1 + qw * dw1,
+                w2 * dH2 + qw * dw2)
 
     rhs = rhs_kerr if kerr else rhs_schw
     h = dt
@@ -625,11 +658,14 @@ def integrate_pallas(env, s0, cfg, *, sub: int | None = None,
         # Widest tile whose backward working set -- the seg-step stage tape
         # plus all n_seg checkpoints plus I/O rows, 8 f32 components each --
         # fits the ~12 MB VMEM budget (sweep on v5e: sub=64 beats 32 by
-        # ~15% at 152 steps; 128 fails to compile).
+        # ~15% at 152 steps; 128 fails to compile).  The Kerr adjoint's
+        # vjp temporaries roughly double the per-step footprint (v5e
+        # compile OOMs at sub=64), hence the factor.
         n_seg_est = -(-cfg.n_steps // seg)
+        comp = 16 if env.spin is not None else 8
         sub = 16
         for cand in (64, 32):
-            if (seg + n_seg_est + 6) * cand * LANES * 4 * 8 <= 12 * 2**20:
+            if (seg + n_seg_est + 6) * cand * LANES * 4 * comp <= 12 * 2**20:
                 sub = cand
                 break
     tile = sub * LANES
