@@ -128,3 +128,30 @@ def test_multisample_reduces_variance_and_progressive_matches():
     frames = list(render_progressive(scene, cam, cfg4))
     assert len(frames) == 4
     np.testing.assert_allclose(np.asarray(frames[-1][1]), img4, atol=1e-5)
+
+
+def test_camera_at_x0_no_crash():
+    """The reference crashes with the camera at x = 0 ('probably the phi',
+    author TODO at RelativisticRenderEngine.py:31-32).  Here polar/axis
+    degeneracies are guarded (safe_arccos/safe_arctan2): the exact x = 0
+    camera with a dead-center pixel renders finite."""
+    import dataclasses
+    import jax.numpy as jnp
+    from blackhole_geodesic_calculator_tpu.camera import Camera
+    from blackhole_geodesic_calculator_tpu.ops import IntegratorConfig
+    from blackhole_geodesic_calculator_tpu.render import (
+        RenderConfig, render_image,
+    )
+    from blackhole_geodesic_calculator_tpu.scene import BlackHole, Scene
+
+    v, u = np.meshgrid(np.arange(8), np.arange(16), indexing="ij")
+    sky = jnp.asarray(np.stack([u / 16.0, v / 8.0, 0 * u + 1.0], -1),
+                      jnp.float32)
+    scene = Scene(bh=BlackHole.make(mass=0.5), background=sky)
+    cfg = RenderConfig(width=17, height=17,  # odd: a pixel exactly on-axis
+                       integrator=IntegratorConfig(n_steps=64, dt=0.2),
+                       lam_max=60.0)
+    for pos in [(0.0, 0.0, 15.0), (0.0, 12.0, 0.0), (0.0, 0.0, -15.0)]:
+        cam = Camera.make(position=pos, euler=(0.7, 0.0, 0.3), fov=(0.8, 0.8))
+        img = np.asarray(render_image(scene, cam, cfg))
+        assert np.isfinite(img).all(), f"non-finite pixels for camera {pos}"
