@@ -279,3 +279,51 @@ def test_bench_schedule_accuracy():
     d_o /= np.linalg.norm(d_o, axis=1, keepdims=True)
     ang = np.arccos(np.clip(np.sum(d_jax * d_o, -1), -1, 1))
     assert ang.max() < 7.8e-4, f"worst deflection err {ang.max():.2e} rad"
+
+
+def test_adaptive_jax_vs_native_oracle():
+    """The two adaptive Dormand-Prince implementations -- the JAX
+    lax.while_loop one (ops/integrate.integrate_adaptive) and the C++ f64
+    oracle (native/src/geodesic.cpp) -- must agree on escape directions and
+    step economy for the same tolerances."""
+    from blackhole_geodesic_calculator_tpu.ops.integrate import (
+        integrate_adaptive,
+    )
+    from blackhole_geodesic_calculator_tpu.ops.geodesic import (
+        null_init, xdot,
+    )
+    from blackhole_geodesic_calculator_tpu.ops.states import init_state
+
+    n = 17
+    b = np.linspace(2.8, 9.0, n)
+    x0 = np.stack([b, np.zeros(n), np.full(n, 25.0)], -1)
+    d0 = np.tile([0.0, 0.0, -1.0], (n, 1))
+
+    out = native.integrate_batch(x0, d0, mass=0.5, r_capture=1.0,
+                                 r_escape=60.0, lam_max=200.0,
+                                 rtol=1e-9, atol=1e-11)
+    assert (out["status"] == states.ESCAPED).all()
+    d_o = np.stack([
+        native.rhs(out["x"][i], out["p"][i],
+                   native.null_init(x0[i], d0[i], 0.5, None)[1], 0.5,
+                   None)[0] for i in range(n)])
+    d_o /= np.linalg.norm(d_o, axis=1, keepdims=True)
+
+    env = GeodesicEnv(mass=jnp.float32(0.5), r_capture=jnp.float32(1.0),
+                      r_escape=jnp.float32(60.0), lam_max=jnp.float32(200.0))
+    x0j = jnp.asarray(x0, jnp.float32)
+    d0j = jnp.asarray(d0, jnp.float32)
+    p, E = null_init(x0j, d0j, env.mass, None)
+    s0 = init_state(x0j, p, E)
+    cfg = IntegratorConfig(n_steps=20000, dt=0.05, method="dopri",
+                           rtol=1e-6, atol=1e-8)
+    s, n_acc = integrate_adaptive(env, s0, cfg)
+    assert (np.asarray(s.status) == states.ESCAPED).all()
+    v = xdot(s.x, s.p, s.E, env.mass, None)
+    d_j = np.asarray(v / jnp.linalg.norm(v, axis=-1, keepdims=True))
+    ang = np.arccos(np.clip(np.sum(d_j * d_o, -1), -1, 1))
+    assert ang.max() < 1e-3, f"adaptive paths disagree: {ang.max():.2e} rad"
+    # both adaptive steppers should use the same order of magnitude of
+    # accepted steps (f32 path runs looser tolerances, so <= ~4x apart)
+    mean_native = out["n_steps"].mean()
+    assert float(np.asarray(n_acc).mean()) <= 4 * mean_native + 50
