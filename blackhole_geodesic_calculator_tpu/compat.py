@@ -16,8 +16,6 @@ RelativisticRenderEngine.py:506).
 
 from __future__ import annotations
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -634,7 +634,6 @@ def integrate_pallas(env, s0, cfg, *, sub: int | None = None,
     """
     batch = s0.E.shape
     if len(batch) != 1:
-        import dataclasses as _dc
         flat = states.RayState(
             x=s0.x.reshape(-1, 3), p=s0.p.reshape(-1, 3),
             E=s0.E.reshape(-1), lam=s0.lam.reshape(-1),

@@ -11,7 +11,6 @@ cheap enough to run interactively because the crop is tiny.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..camera.pinhole import Camera, generate_rays, pixel_grid
