@@ -47,11 +47,11 @@ def _cmd_render(args):
 
     t0 = time.perf_counter()
     img = None
+    unit = "sample" if rcfg.samples > 1 else "band"
     for i, frame in render_progressive(scene, cam, rcfg):
         img = frame
         if args.verbose:
-            print(f"sample {i + 1}/{rcfg.samples} "
-                  f"({time.perf_counter() - t0:.1f}s)")
+            print(f"{unit} {i + 1} ({time.perf_counter() - t0:.1f}s)")
     img = np.asarray(jax.block_until_ready(img))
     if args.tonemap:
         img = np.concatenate([tonemap(img[..., :3]), img[..., 3:]], -1)
@@ -82,9 +82,14 @@ def _cmd_animate(args):
     except Exception:
         writer = None
 
+    render_error = False
     try:
         for f in range(args.frames):
             path = args.out_pattern.format(frame=f)
+            # Frame files are written atomically (tmp + rename, both the
+            # native FrameWriter and write_png), so an existing file is a
+            # complete frame -- a crash mid-write never leaves a truncated
+            # PNG that --resume would treat as done.
             if args.resume and os.path.exists(path):
                 print(f"frame {f + 1}/{args.frames} exists, skipping")
                 continue
@@ -106,11 +111,15 @@ def _cmd_animate(args):
             else:
                 write_png(path, img)
             print(f"frame {f + 1}/{args.frames} -> {path}")
+    except BaseException:
+        render_error = True
+        raise
     finally:
         if writer is not None:
             failures = writer.wait()
             writer.close()
-            if failures:
+            # don't mask an exception already propagating from the loop
+            if failures and not render_error:
                 raise RuntimeError(f"{failures} frame writes failed")
 
 
@@ -133,7 +142,14 @@ def _cmd_precompute(args):
 def _cmd_bench(args):
     import subprocess
 
-    cmd = [sys.executable, "bench.py", "--size", str(args.size),
+    # bench.py lives at the repo root (one level above the package); an
+    # absolute path keeps `cli bench` working from any cwd.
+    bench = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "bench.py")
+    if not os.path.exists(bench):
+        bench = "bench.py"  # installed layout: fall back to cwd
+    cmd = [sys.executable, bench, "--size", str(args.size),
            "--steps", str(args.steps)]
     if args.fwd_only:
         cmd.append("--fwd-only")

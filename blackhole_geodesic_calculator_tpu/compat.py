@@ -207,15 +207,19 @@ class GeodesicIntegratorSchwarzschild:
             tx, tp, tl, st, _ = native.trajectory(
                 x0[i], d0[i], max_points=int(nr_points_curve), **kw)
             _, E = native.null_init(x0[i], d0[i], self.mass, self.spin)
-            v = np.stack([native.rhs(tx[j], tp[j], E, self.mass,
-                                     self.spin)[0]
-                          for j in range(tx.shape[0])])
+            # velocities for the whole polyline in one library call
+            v, _ = native.rhs_batch(tx, tp, E, self.mass, self.spin)
             xs.append(tx)
             ks.append(v)
             lams.append(tl[-1] if len(tl) else 0.0)
             statuses.append(st)
         status = np.asarray(statuses, np.int32)
-        inside0 = np.linalg.norm(x0, axis=-1) <= r_cap
+        # The oracle tests "start inside" with the Kerr-Schild radius
+        # (geodesic.cpp integrate_one), which is SMALLER than the Euclidean
+        # norm for spin != 0 -- trust its INSIDE_HORIZON status rather than
+        # recomputing with the wrong radius, and include it in hit_blackhole
+        # to match the JAX path above.
+        inside0 = status == states.INSIDE_HORIZON
         end_loc = np.stack([t[-1] for t in xs])
         end_dir = np.stack([k[-1] for k in ks])
         end_dir = end_dir / np.maximum(

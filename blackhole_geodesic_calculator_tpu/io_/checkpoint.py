@@ -47,6 +47,14 @@ def load_train_state(path: str, like=None):
             raise ValueError("npz restore needs a `like` pytree template")
         with np.load(path) as z:
             step = int(z["step"])
+            saved_treedef = bytes(z["treedef"]).decode()
+            want_treedef = str(jax.tree.structure(like))
+            if saved_treedef != want_treedef:
+                raise ValueError(
+                    "checkpoint treedef mismatch -- the `like` template has "
+                    "a different pytree structure than what was saved "
+                    "(leaves would be silently mis-assigned):\n"
+                    f"  saved: {saved_treedef}\n  like:  {want_treedef}")
             leaves = [z[f"leaf_{i}"]
                       for i in range(len(jax.tree.leaves(like)))]
         params, opt_state = jax.tree.unflatten(

@@ -39,7 +39,12 @@ def _png_bytes(arr: np.ndarray) -> bytes:
 
 
 def write_png(path: str, img, clip: bool = True) -> str:
-    """(H, W, 3|4) float [0,1] or uint8 -> PNG file."""
+    """(H, W, 3|4) float [0,1] or uint8 -> PNG file.
+
+    Writes atomically (tmp file + rename): readers -- in particular
+    ``cli animate --resume``'s existence check -- never observe a
+    truncated file after a crash mid-write.
+    """
     arr = np.asarray(img)
     if arr.dtype != np.uint8:
         arr = np.asarray(arr, np.float32)
@@ -48,22 +53,29 @@ def write_png(path: str, img, clip: bool = True) -> str:
         arr = (arr * 255.0 + 0.5).astype(np.uint8)
     if arr.ndim != 3 or arr.shape[2] not in (3, 4):
         raise ValueError(f"expected (H, W, 3|4), got {arr.shape}")
+    import os
+
+    tmp = path + ".tmp"
     # Fastest first: the native C++ encoder (filtered + zlib), then PIL,
     # then the dependency-free pure-Python fallback.
+    written = False
     try:
         from .. import native
 
         if native.available() and path.lower().endswith(".png"):
-            return native.write_png(path, np.ascontiguousarray(arr))
+            native.write_png(tmp, np.ascontiguousarray(arr))
+            written = True
     except Exception:
-        pass
-    try:
-        from PIL import Image
+        written = False
+    if not written:
+        try:
+            from PIL import Image
 
-        Image.fromarray(arr).save(path)
-    except ImportError:
-        with open(path, "wb") as f:
-            f.write(_png_bytes(np.ascontiguousarray(arr)))
+            Image.fromarray(arr).save(tmp, format="PNG")
+        except ImportError:
+            with open(tmp, "wb") as f:
+                f.write(_png_bytes(np.ascontiguousarray(arr)))
+    os.replace(tmp, path)
     return path
 
 

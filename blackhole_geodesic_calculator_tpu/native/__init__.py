@@ -108,6 +108,10 @@ def _load():
         lib.bgc_rhs.restype = None
         lib.bgc_rhs.argtypes = [dp, dp, ctypes.c_double, ctypes.c_double,
                                 ctypes.c_double, dp, dp]
+        lib.bgc_rhs_batch.restype = None
+        lib.bgc_rhs_batch.argtypes = [dp, dp, ctypes.c_int64,
+                                      ctypes.c_double, ctypes.c_double,
+                                      ctypes.c_double, dp, dp]
         lib.bgc_null_init.restype = None
         lib.bgc_null_init.argtypes = [dp, dp, ctypes.c_double,
                                       ctypes.c_double, dp, dp]
@@ -259,6 +263,21 @@ def rhs(x, p, E, mass, spin=None):
     lib.bgc_rhs(_dp(x), _dp(p), float(E), float(mass),
                 0.0 if spin is None else float(spin), _dp(dx), _dp(dp))
     return dx, dp
+
+
+def rhs_batch(x, p, E, mass, spin=None):
+    """Batched (dx, dp) over (N, 3) states in ONE library call -- recovers
+    the coordinate velocities of a stored trajectory polyline without a
+    per-point ctypes crossing."""
+    lib = _load()
+    x = np.ascontiguousarray(x, np.float64).reshape(-1, 3)
+    p = np.ascontiguousarray(p, np.float64).reshape(-1, 3)
+    n = x.shape[0]
+    dx = np.empty((n, 3), np.float64)
+    dpv = np.empty((n, 3), np.float64)
+    lib.bgc_rhs_batch(_dp(x), _dp(p), n, float(E), float(mass),
+                      0.0 if spin is None else float(spin), _dp(dx), _dp(dpv))
+    return dx, dpv
 
 
 def null_init(x, d, mass, spin=None):

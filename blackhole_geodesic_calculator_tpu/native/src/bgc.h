@@ -93,6 +93,11 @@ int bgc_trajectory(
 void bgc_rhs(const double* x, const double* p, double E,
              double mass, double spin, double* dx, double* dp);
 
+/* Batched RHS over n states (x, p: (n, 3)); one ctypes crossing recovers
+ * the coordinate velocities of a whole trajectory polyline. */
+void bgc_rhs_batch(const double* x, const double* p, int64_t n, double E,
+                   double mass, double spin, double* dx, double* dp);
+
 /* Initial (p, E) of a photon at x with unit coordinate velocity d
  * (ops/geodesic.null_init). */
 void bgc_null_init(const double* x, const double* d,

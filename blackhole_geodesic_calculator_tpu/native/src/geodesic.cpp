@@ -406,6 +406,20 @@ void bgc_rhs(const double* x, const double* p, double E, double mass,
   }
 }
 
+void bgc_rhs_batch(const double* x, const double* p, int64_t n, double E,
+                   double mass, double spin, double* dx, double* dp) {
+  for (int64_t i = 0; i < n; ++i) {
+    Vec3 xv{{x[3 * i], x[3 * i + 1], x[3 * i + 2]}};
+    Vec3 pv{{p[3 * i], p[3 * i + 1], p[3 * i + 2]}};
+    Vec3 dxv, dpv;
+    rhs(xv, pv, E, mass, spin, &dxv, &dpv);
+    for (int j = 0; j < 3; ++j) {
+      dx[3 * i + j] = dxv[j];
+      dp[3 * i + j] = dpv[j];
+    }
+  }
+}
+
 void bgc_null_init(const double* x, const double* d, double mass, double spin,
                    double* p_out, double* E_out) {
   Vec3 xv{{x[0], x[1], x[2]}}, dv{{d[0], d[1], d[2]}}, pv;

@@ -11,6 +11,7 @@
 #include "bgc.h"
 
 #include <condition_variable>
+#include <cstdio>
 #include <cstring>
 #include <deque>
 #include <mutex>
@@ -58,8 +59,13 @@ struct BgcWriter {
       std::vector<uint8_t> u8((size_t)job.h * job.w * job.c);
       bgc_quantize(job.data.data(), u8.data(), (int64_t)job.h * job.w, job.c,
                    job.srgb);
-      int rc = bgc_write_png(job.path.c_str(), u8.data(), job.h, job.w,
+      /* Atomic publish: encode to path+".tmp" and rename into place, so a
+       * crash/kill mid-write never leaves a truncated frame that a resumed
+       * animation (cli animate --resume) would treat as complete. */
+      std::string tmp = job.path + ".tmp";
+      int rc = bgc_write_png(tmp.c_str(), u8.data(), job.h, job.w,
                              job.c, 6);
+      if (rc == 0 && std::rename(tmp.c_str(), job.path.c_str()) != 0) rc = 3;
       {
         std::lock_guard<std::mutex> lk(mu);
         if (rc != 0) failures += 1;

@@ -43,6 +43,8 @@ def init_distributed(coordinator_address: str | None = None,
     """
     if num_processes is not None and num_processes <= 1:
         return False
+    auto = (coordinator_address is None and num_processes is None
+            and process_id is None)
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -50,9 +52,18 @@ def init_distributed(coordinator_address: str | None = None,
             process_id=process_id,
         )
         return True
-    except RuntimeError as e:  # already initialized
-        if "already" in str(e).lower():
+    except RuntimeError as e:
+        if "already" in str(e).lower():  # initialized earlier: fine
             return True
+        if auto:
+            # No-arg call on a non-cluster machine: auto-detection found no
+            # coordinator/cluster environment.  That's the advertised
+            # single-host no-op, not an error.
+            return False
+        raise
+    except ValueError:
+        if auto:  # same: some jax versions raise ValueError here
+            return False
         raise
 
 

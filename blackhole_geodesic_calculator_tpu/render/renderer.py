@@ -196,21 +196,51 @@ def render_image(scene: Scene, cam: Camera, cfg: RenderConfig,
 
 
 def render_progressive(scene: Scene, cam: Camera, cfg: RenderConfig,
-                       key: Array | None = None) -> Iterator[tuple[int, Array]]:
-    """Generator yielding (sample_index, running-average RGBA) -- the
+                       key: Array | None = None,
+                       row_bands: int = 16) -> Iterator[tuple[int, Array]]:
+    """Generator yielding (update_index, partial RGBA) -- the
     progressive-update contract of the reference's render_scene/ray_trace
-    generator (RelativisticRenderEngine.py:161-166,250), at per-sample
-    granularity (per-row makes no sense when the whole frame is one program).
+    generator (RelativisticRenderEngine.py:161-166,250,261).
+
+    Granularity adapts to where the work is:
+
+    * samples > 1: one yield per SAMPLE with the running average (each
+      sample is one fused device program; finer slicing buys nothing).
+    * samples == 1: one yield per ROW BAND (~``row_bands`` equal bands),
+      honoring the reference's per-row progress for the default single-
+      sample render -- one yield total would be no progress at all.  All
+      bands share one compiled program (equal shapes; the last band is
+      padded and trimmed).
     """
     if key is None:
         key = jax.random.PRNGKey(cfg.seed)
-    jit_sample = jax.jit(render_sample, static_argnames=("cfg",))
     x0, x1, y0, y1 = cfg.crop()
+
+    if cfg.samples == 1:
+        n_rows = y1 - y0
+        band = max(1, -(-n_rows // max(1, min(row_bands, n_rows))))
+        jit_rays = jax.jit(render_rays, static_argnames=("cfg",))
+        full = jnp.ones((cfg.height, cfg.width, 4), jnp.float32)
+        i = 0
+        yb = y0
+        while yb < y1:
+            take = min(band, y1 - yb)
+            # fixed band shape (rows past the crop are rendered and
+            # discarded) so every band reuses one compilation
+            ys, xs = pixel_grid(cfg.width, cfg.height, x0, x1,
+                                yb, yb + band)
+            rgb = jit_rays(scene, cam, cfg, ys, xs, None)
+            full = full.at[yb:yb + take, x0:x1, :3].set(rgb[:take])
+            yield i, full
+            i += 1
+            yb += take
+        return
+
+    jit_sample = jax.jit(render_sample, static_argnames=("cfg",))
     keys = jax.random.split(key, cfg.samples)
     acc = None
     for i in range(cfg.samples):
-        k = keys[i] if cfg.samples > 1 else None
-        rgb = jit_sample(scene, cam, cfg=cfg, key=k)
+        rgb = jit_sample(scene, cam, cfg=cfg, key=keys[i])
         acc = rgb if acc is None else acc + rgb
         full = jnp.ones((cfg.height, cfg.width, 4), rgb.dtype)
         full = full.at[y0:y1, x0:x1, :3].set(acc / (i + 1))

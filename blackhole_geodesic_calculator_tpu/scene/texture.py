@@ -83,6 +83,18 @@ def sample_bpy(tex: Array, x: Array, y: Array) -> Array:
     return out
 
 
+# The quad-texture gather/scatter fast path materializes a 4x copy of the
+# texture; past this footprint (transient HBM) fall back to plain 4-corner
+# gathers/scatters -- an 8k f32 equirect (~400 MB) must not allocate ~1.6 GB
+# per lookup site.
+_QUAD_LIMIT_BYTES = 64 * 2 ** 20
+
+
+def _use_quad(tex) -> bool:
+    h, w, c = tex.shape
+    return 4 * h * w * c * tex.dtype.itemsize <= _QUAD_LIMIT_BYTES
+
+
 def _sample_bpy_fwd(tex, x, y):
     h, w = tex.shape[0], tex.shape[1]
     c = tex.shape[2]
@@ -96,20 +108,28 @@ def _sample_bpy_fwd(tex, x, y):
     y0u = y0f.astype(jnp.int32)      # unclipped: row fold happens in bwd
     xi0 = jnp.mod(x0, w)
 
-    # Quad texture: row p holds the full 2x2 footprint of base row
-    # y0u = p - 1 (rows clipped to the edge, +1 column wrapped), so the four
-    # corner colors arrive in ONE gather row of 4C floats.  TPU gathers are
-    # serial per gathered row (~6 ns each, measured), so one 12-float row
-    # beats four 3-float rows 4x; the quad build itself is dense and cheap.
-    ra = jnp.concatenate([tex[:1], tex], axis=0)          # clip(p-1, 0, h-1)
-    rb = jnp.concatenate([tex, tex[-1:]], axis=0)         # clip(p,   0, h-1)
-    rolled = lambda t: jnp.concatenate([t[:, 1:], t[:, :1]], axis=1)
-    quad = jnp.concatenate(
-        [ra, rolled(ra), rb, rolled(rb)], axis=-1)        # (h+1, w, 4C)
-    p = jnp.clip(y0u, -1, h - 1) + 1
-    q = quad.reshape((h + 1) * w, 4 * c)[p * w + xi0]
-    c00, c01, c10, c11 = (q[..., :c], q[..., c:2 * c],
-                          q[..., 2 * c:3 * c], q[..., 3 * c:])
+    if _use_quad(tex):
+        # Quad texture: row p holds the full 2x2 footprint of base row
+        # y0u = p - 1 (rows clipped to the edge, +1 column wrapped), so the
+        # four corner colors arrive in ONE gather row of 4C floats.  TPU
+        # gathers are serial per gathered row (~6 ns each, measured), so one
+        # 12-float row beats four 3-float rows 4x; the quad build itself is
+        # dense and cheap.
+        ra = jnp.concatenate([tex[:1], tex], axis=0)      # clip(p-1, 0, h-1)
+        rb = jnp.concatenate([tex, tex[-1:]], axis=0)     # clip(p,   0, h-1)
+        rolled = lambda t: jnp.concatenate([t[:, 1:], t[:, :1]], axis=1)
+        quad = jnp.concatenate(
+            [ra, rolled(ra), rb, rolled(rb)], axis=-1)    # (h+1, w, 4C)
+        p = jnp.clip(y0u, -1, h - 1) + 1
+        q = quad.reshape((h + 1) * w, 4 * c)[p * w + xi0]
+        c00, c01, c10, c11 = (q[..., :c], q[..., c:2 * c],
+                              q[..., 2 * c:3 * c], q[..., 3 * c:])
+    else:
+        xi1 = jnp.mod(x0 + 1, w)
+        yi0 = jnp.clip(y0u, 0, h - 1)
+        yi1 = jnp.clip(y0u + 1, 0, h - 1)
+        c00, c01, c10, c11 = (tex[yi0, xi0], tex[yi0, xi1],
+                              tex[yi1, xi0], tex[yi1, xi1])
 
     txe, tye = tx[..., None], ty[..., None]
     top = c00 * (1.0 - txe) + c01 * txe
@@ -127,30 +147,42 @@ def _sample_bpy_bwd(res, g):
     dtype = tex.dtype
     txe, tye = tx[..., None], ty[..., None]
 
-    # --- d tex: one N-update scatter + dense shifts -----------------------
-    # Padded row index p in [0, h]: p = clip(y0u, -1, h-1) + 1; equirect
-    # coords keep y0u in [-1, h-1] already, the clip guards other uses.
-    p = jnp.clip(y0u, -1, h - 1) + 1
-    upd = jnp.concatenate(
-        [g * (1.0 - txe) * (1.0 - tye), g * txe * (1.0 - tye),
-         g * (1.0 - txe) * tye, g * txe * tye], axis=-1)
-    S = jnp.zeros(((h + 1) * w, 4 * c), dtype).at[
-        (p * w + xi0).reshape(-1)].add(upd.reshape(-1, 4 * c)).reshape(
-            h + 1, w, 4, c)
+    if _use_quad(tex):
+        # --- d tex: one N-update scatter + dense shifts -------------------
+        # Padded row index p in [0, h]: p = clip(y0u, -1, h-1) + 1; equirect
+        # coords keep y0u in [-1, h-1] already, the clip guards other uses.
+        p = jnp.clip(y0u, -1, h - 1) + 1
+        upd = jnp.concatenate(
+            [g * (1.0 - txe) * (1.0 - tye), g * txe * (1.0 - tye),
+             g * (1.0 - txe) * tye, g * txe * tye], axis=-1)
+        S = jnp.zeros(((h + 1) * w, 4 * c), dtype).at[
+            (p * w + xi0).reshape(-1)].add(upd.reshape(-1, 4 * c)).reshape(
+                h + 1, w, 4, c)
 
-    def fold0(a):    # base row: y = max(y0u, 0); pad row 0 folds into row 0
-        b = a[1:]
-        return b.at[0].add(a[0])
+        def fold0(a):  # base row: y = max(y0u, 0); pad row 0 folds into row 0
+            b = a[1:]
+            return b.at[0].add(a[0])
 
-    def fold1(a):    # next row: y = min(y0u + 1, h-1); pad row h folds back
-        b = a[:h]
-        return b.at[h - 1].add(a[h])
+        def fold1(a):  # next row: y = min(y0u+1, h-1); pad row h folds back
+            b = a[:h]
+            return b.at[h - 1].add(a[h])
 
-    def rollx(a):    # the +1 column wraps (mod w)
-        return jnp.roll(a, 1, axis=1)
+        def rollx(a):  # the +1 column wraps (mod w)
+            return jnp.roll(a, 1, axis=1)
 
-    dtex = (fold0(S[:, :, 0]) + rollx(fold0(S[:, :, 1]))
-            + fold1(S[:, :, 2]) + rollx(fold1(S[:, :, 3])))
+        dtex = (fold0(S[:, :, 0]) + rollx(fold0(S[:, :, 1]))
+                + fold1(S[:, :, 2]) + rollx(fold1(S[:, :, 3])))
+    else:
+        # Large texture: 4 plain scatter-adds into (h, w, c) -- no 4x quad
+        # copy; slower (sort-based lowering) but memory-safe for 8k skies.
+        xi1 = jnp.mod(xi0 + 1, w)
+        yi0 = jnp.clip(y0u, 0, h - 1)
+        yi1 = jnp.clip(y0u + 1, 0, h - 1)
+        dtex = (jnp.zeros((h, w, c), dtype)
+                .at[yi0, xi0].add(g * (1.0 - txe) * (1.0 - tye))
+                .at[yi0, xi1].add(g * txe * (1.0 - tye))
+                .at[yi1, xi0].add(g * (1.0 - txe) * tye)
+                .at[yi1, xi1].add(g * txe * tye))
 
     # --- dx, dy: exactly the autodiff of the bilinear weights ------------
     dfx = jnp.sum(g * ((c01 - c00) * (1.0 - tye) + (c11 - c10) * tye),

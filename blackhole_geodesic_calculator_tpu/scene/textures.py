@@ -14,6 +14,7 @@ cached per (name, dir).
 from __future__ import annotations
 
 import os
+import zlib
 
 import numpy as np
 
@@ -125,7 +126,11 @@ def load_texture(name: str, texture_dir: str | None = None,
                 f"unknown texture {name!r}; registry names: "
                 f"{sorted(TEXTURES)}")
         h, w = size
-        seed = abs(hash(name)) % (2 ** 31)
+        # Stable cross-process seed: Python's str hash is salted per process
+        # (PYTHONHASHSEED), which would give every host of a multi-host
+        # render a DIFFERENT procedural sky and break animate --resume
+        # bit-reproducibility across restarts.  crc32 is deterministic.
+        seed = zlib.crc32(name.encode())
         arr = _procedural(spec["kind"], spec, h, w, seed)
     _cache[key] = arr
     return arr

@@ -63,6 +63,9 @@ def scenes():
                   radius=[0.8, 0.8], texture=MOON_TEX)),
         Camera.make(position=(0.0, 6.0, 19.0), euler=(-0.3, 0.0, 0.0),
                     fov=(0.9, 0.9)))
+    # "a09" = DIMENSIONLESS spin a/M = 0.9 (the reference's Kerr pkl naming,
+    # RelativisticRenderEngineCamEdition.py:216-221).  Scene.spin is the
+    # dimensionFUL Kerr-Schild a = J/M, so with M = 0.5 it is 0.45 here.
     yield "kerr_a09", (
         Scene(bh=BlackHole.make(mass=0.5, spin=0.45), background=sky()),
         Camera.make(position=(20.0, 0.0, 0.0),
