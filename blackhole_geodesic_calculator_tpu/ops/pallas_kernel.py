@@ -688,9 +688,31 @@ def integrate_pallas(env, s0, cfg, *, sub: int | None = None,
              pad_to(s0.E, 1.0), pad_to(s0.lam)]
     st0 = pad_to(s0.status, states.ERROR)
     obj0 = pad_to(s0.hit_obj, -1)
-    comps = [c.reshape(npad // LANES, LANES) for c in comps]
-    st0 = st0.reshape(npad // LANES, LANES)
-    obj0 = obj0.reshape(npad // LANES, LANES)
+    rows = npad // LANES
+    comps = [c.reshape(rows, LANES) for c in comps]
+    st0 = st0.reshape(rows, LANES)
+    obj0 = obj0.reshape(rows, LANES)
+
+    # --- cost-coherent tile ordering (see IntegratorConfig.tile_order) ----
+    # Key: squared angular momentum |x cross p|^2 ~ (impact parameter)^2 --
+    # shadow rays (small b) capture in a few steps, photon-ring grazers
+    # (b ~ 3 sqrt(3) M) run longest, far-field rays escape mid-cost.  Rows
+    # of 128 consecutive rays are image-coherent, so a per-row max key
+    # clusters whole tiles by cost and the in-kernel chunk/segment skipping
+    # actually fires.  Row-granular gathers are ~dozens of big rows -- cheap
+    # and cheaply transposed -- unlike a per-ray permute (serial gather).
+    reorder = cfg.tile_order == "cost" and rows > 2 * sub
+    if reorder:
+        x0f, x1f, x2f, p0f, p1f, p2f = comps[:6]
+        cx = x1f * p2f - x2f * p1f
+        cy = x2f * p0f - x0f * p2f
+        cz = x0f * p1f - x1f * p0f
+        key = jnp.max(cx * cx + cy * cy + cz * cz, axis=1)
+        order = jnp.argsort(lax.stop_gradient(key))
+        inv_order = jnp.argsort(order)
+        comps = [c[order] for c in comps]
+        st0 = st0[order]
+        obj0 = obj0[order]
 
     r_ref = cfg.dt_boost_r_ref or 6.0 * env.mass
     boost = cfg.dt_boost if cfg.dt_boost > 1.0 else 1.0
@@ -726,6 +748,10 @@ def integrate_pallas(env, s0, cfg, *, sub: int | None = None,
     x0c, x1c, x2c, p0c, p1c, p2c, Ec, lam0 = comps
     ox0, ox1, ox2, op0, op1, op2, olam, ost, oobj = core(
         x0c, x1c, x2c, p0c, p1c, p2c, Ec, lam0, st0, obj0, scal, sph)
+    if reorder:
+        (ox0, ox1, ox2, op0, op1, op2, olam, ost, oobj) = (
+            o[inv_order]
+            for o in (ox0, ox1, ox2, op0, op1, op2, olam, ost, oobj))
 
     x = jnp.stack([ox0.reshape(-1)[:n], ox1.reshape(-1)[:n],
                    ox2.reshape(-1)[:n]], axis=-1)
