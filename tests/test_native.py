@@ -245,12 +245,15 @@ def test_write_png_io_integration(tmp_path, rng):
 
 
 def test_bench_schedule_accuracy():
-    """The bench.py step schedule (n=152, dt=0.08, boost=96, r_ref=1.2)
-    must stay sub-pixel-accurate against the f64 oracle: worst escape
-    direction error < 7.8e-4 rad (one pixel of the 1024px/0.8rad flagship
-    camera), every ray finished, capture set identical."""
-    n = 65
-    b = np.concatenate([np.linspace(2.0, 3.5, 33), np.linspace(3.6, 12.0, n - 33)])
+    """The bench.py step schedule (n=112, dt=0.10, boost=64, r_ref=1.6,
+    power=1.5) must stay sub-pixel-accurate against the f64 oracle: worst
+    escape direction error < 7.8e-4 rad (one pixel of the 1024px/0.8rad
+    flagship camera), every ray finished, capture set identical.  The fan
+    spans b in [2, 15] -- past the flagship camera's corner rays (b ~ 12.3)
+    -- with dense coverage of the near-critical band around
+    b_c = 3 sqrt(3) M ~ 2.598 where the error is sharpest."""
+    n = 97
+    b = np.concatenate([np.linspace(2.0, 3.5, 49), np.linspace(3.6, 15.0, n - 49)])
     x0 = np.stack([b, np.zeros(n), np.full(n, 25.0)], -1)
     d0 = np.tile([0.0, 0.0, -1.0], (n, 1))
     oracle = native.integrate_batch(x0, d0, mass=0.5, r_capture=1.0,
@@ -259,8 +262,8 @@ def test_bench_schedule_accuracy():
 
     env = GeodesicEnv(mass=jnp.float32(0.5), r_capture=jnp.float32(1.0),
                       r_escape=jnp.float32(70.0), lam_max=jnp.float32(100.0))
-    cfg = IntegratorConfig(n_steps=152, dt=0.08, dt_boost=96.0,
-                           dt_boost_r_ref=1.2)
+    cfg = IntegratorConfig(n_steps=112, dt=0.10, dt_boost=64.0,
+                           dt_boost_r_ref=1.6, dt_power=1.5)
     s = launch(env, jnp.asarray(x0, jnp.float32),
                jnp.asarray(d0, jnp.float32), cfg)
     st = np.asarray(s.status)
