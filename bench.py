@@ -110,8 +110,10 @@ def main():
     # Steady-state throughput (pipelined dispatch, block once): how a real
     # training/animation loop runs -- successive steps are enqueued while
     # the device works, hiding host/tunnel launch latency.  This is the
-    # headline number; per-call latency is reported alongside.
-    n_pipe = max(args.repeat, 5)
+    # headline number; per-call latency is reported alongside.  Depth 10:
+    # shallower queues leave the device idle between programs on this
+    # tunneled stack (~3 ms/step at depth 5).
+    n_pipe = max(args.repeat, 10)
     t0 = time.perf_counter()
     for _ in range(n_pipe):
         out = step(*params)

@@ -57,57 +57,10 @@ NSCAL = 10
 # =============================================================================
 # The step, in SoA tile form (pure jnp; traced fwd and under vjp in bwd).
 # =============================================================================
-def _soa_step(xp, lam, status, hit_obj, scal, sph, *, has_disk, n_sph,
-              kerr=False, enabled=None, power=1.0):
-    """One RK4 step + event handling on (S, 128) component tiles.
+def _rhs_schw_soa(mass, E):
+    """SoA Schwarzschild-KS Hamiltonian RHS (geodesic.schwarzschild_rhs)."""
 
-    Mirrors integrate._fixed_step + _apply_events (kept in lockstep; parity
-    is tested).  Returns ((x0..p2, E), lam1, status1, hit_obj1).
-    ``enabled`` (scalar bool) gates the step: a disabled step has dt = 0
-    and is exactly the identity, which lets kernels pad the trip count to a
-    chunk/segment multiple while integrating EXACTLY n_steps steps.
-    ``kerr=True`` switches the RHS to the Kerr-Schild family with spin
-    ``a = scal[9]`` (hand-derived analytic gradient, equal to
-    ops/geodesic.ks_rhs -- parity tested) and the termination/step radius
-    to the Kerr-Schild radius.
-    """
-    x0, x1, x2, p0, p1, p2, E = xp
-    mass = scal[0]
-    dt0, boost, r_ref = scal[1], scal[2], scal[3]
-    r_cap, r_esc, lam_max = scal[4], scal[5], scal[6]
-    spin = scal[9]
-
-    active = status == states.ACTIVE
-
-    def ks_r(a0, a1, a2):
-        """Kerr-Schild radius (models/kerr.ks_radius, SoA form)."""
-        rho2 = a0 * a0 + a1 * a1 + a2 * a2
-        bq = rho2 - spin * spin
-        r2 = 0.5 * (bq + jnp.sqrt(bq * bq + 4.0 * spin * spin * a2 * a2))
-        return jnp.sqrt(jnp.maximum(r2, 1e-12))
-
-    def radius(a0, a1, a2):
-        if kerr:
-            return ks_r(a0, a1, a2)
-        return jnp.sqrt(a0 * a0 + a1 * a1 + a2 * a2)
-
-    # --- per-ray dt (radius-proportional growth; integrate._dt_eff) -------
-    ra = radius(x0, x1, x2)
-    dt = jnp.where(active, dt0, 0.0)
-    ratio = ra / r_ref
-    if power == 1.5:            # sqrt form of the common super-linear case
-        ratio = ratio * jnp.sqrt(jnp.maximum(ratio, 0.0))
-    elif power == 2.0:
-        ratio = ratio * ratio
-    elif power != 1.0:
-        ratio = jnp.maximum(ratio, 1e-20) ** power
-    dt = dt * jnp.clip(ratio, 1.0, boost)
-    if enabled is not None:
-        dt = dt * enabled.astype(dt.dtype)
-
-    # --- RK4 on the Hamiltonian system (geodesic.schwarzschild_rhs /
-    #     geodesic.ks_rhs) ---------------------------------------------------
-    def rhs_schw(a0, a1, a2, b0, b1, b2):
+    def rhs(a0, a1, a2, b0, b1, b2):
         r2 = jnp.maximum(a0 * a0 + a1 * a1 + a2 * a2, 1e-12)
         inv_r = lax.rsqrt(r2)
         inv_r2 = inv_r * inv_r
@@ -122,12 +75,17 @@ def _soa_step(xp, lam, status, hit_obj, scal, sph, *, has_disk, n_sph,
         return (b0 - uw * n0, b1 - uw * n1, b2 - uw * n2,
                 cp * b0 - cn * n0, cp * b1 - cn * n1, cp * b2 - cn * n2)
 
-    def rhs_kerr(a0, a1, a2, b0, b1, b2):
-        """Analytic Kerr-Schild RHS: dp = +d/dx [H w^2] with the gradient
-        hand-derived via implicit differentiation of the KS radius
-        (dr/dx_i = (r^2 x_i + a^2 z delta_i2)/(r S), S = 2r^2 - (rho^2-a^2))
-        -- the SoA twin of native/src/geodesic.cpp::rhs, ~2x cheaper than
-        per-step jax.grad of the potential (verified equal in tests)."""
+    return rhs
+
+
+def _rhs_kerr_soa(mass, spin, E):
+    """Analytic Kerr-Schild RHS: dp = +d/dx [H w^2] with the gradient
+    hand-derived via implicit differentiation of the KS radius
+    (dr/dx_i = (r^2 x_i + a^2 z delta_i2)/(r S), S = 2r^2 - (rho^2-a^2))
+    -- the SoA twin of native/src/geodesic.cpp::rhs, ~2x cheaper than
+    per-step jax.grad of the potential (verified equal in tests)."""
+
+    def rhs(a0, a1, a2, b0, b1, b2):
         rho2 = a0 * a0 + a1 * a1 + a2 * a2
         bq = rho2 - spin * spin
         S = jnp.sqrt(bq * bq + 4.0 * spin * spin * a2 * a2)
@@ -178,7 +136,75 @@ def _soa_step(xp, lam, status, hit_obj, scal, sph, *, has_disk, n_sph,
                 w2 * dH0 + qw * dw0, w2 * dH1 + qw * dw1,
                 w2 * dH2 + qw * dw2)
 
-    rhs = rhs_kerr if kerr else rhs_schw
+    return rhs
+
+
+def _ks_radius_soa(spin):
+    def ks_r(a0, a1, a2):
+        """Kerr-Schild radius (models/kerr.ks_radius, SoA form)."""
+        rho2 = a0 * a0 + a1 * a1 + a2 * a2
+        bq = rho2 - spin * spin
+        r2 = 0.5 * (bq + jnp.sqrt(bq * bq + 4.0 * spin * spin * a2 * a2))
+        return jnp.sqrt(jnp.maximum(r2, 1e-12))
+
+    return ks_r
+
+
+def _dt_soa(a0, a1, a2, active, scal, enabled, kerr, power):
+    """Per-ray step size: radius-proportional growth (integrate._dt_eff)."""
+    dt0, boost, r_ref = scal[1], scal[2], scal[3]
+    spin = scal[9]
+    if kerr:
+        ra = _ks_radius_soa(spin)(a0, a1, a2)
+    else:
+        ra = jnp.sqrt(a0 * a0 + a1 * a1 + a2 * a2)
+    dt = jnp.where(active, dt0, 0.0)
+    ratio = ra / r_ref
+    if power == 1.5:            # sqrt form of the common super-linear case
+        ratio = ratio * jnp.sqrt(jnp.maximum(ratio, 0.0))
+    elif power == 2.0:
+        ratio = ratio * ratio
+    elif power != 1.0:
+        ratio = jnp.maximum(ratio, 1e-20) ** power
+    dt = dt * jnp.clip(ratio, 1.0, boost)
+    if enabled is not None:
+        dt = dt * enabled.astype(dt.dtype)
+    return dt
+
+
+def _soa_step(xp, lam, status, hit_obj, scal, sph, *, has_disk, n_sph,
+              kerr=False, enabled=None, power=1.0):
+    """One RK4 step + event handling on (S, 128) component tiles.
+
+    Mirrors integrate._fixed_step + _apply_events (kept in lockstep; parity
+    is tested).  Returns ((x0..p2, E), lam1, status1, hit_obj1).
+    ``enabled`` (scalar bool) gates the step: a disabled step has dt = 0
+    and is exactly the identity, which lets kernels pad the trip count to a
+    chunk/segment multiple while integrating EXACTLY n_steps steps.
+    ``kerr=True`` switches the RHS to the Kerr-Schild family with spin
+    ``a = scal[9]`` (hand-derived analytic gradient, equal to
+    ops/geodesic.ks_rhs -- parity tested) and the termination/step radius
+    to the Kerr-Schild radius.
+    """
+    x0, x1, x2, p0, p1, p2, E = xp
+    mass = scal[0]
+    r_cap, r_esc, lam_max = scal[4], scal[5], scal[6]
+    spin = scal[9]
+
+    active = status == states.ACTIVE
+
+    def radius(a0, a1, a2):
+        if kerr:
+            return _ks_radius_soa(spin)(a0, a1, a2)
+        return jnp.sqrt(a0 * a0 + a1 * a1 + a2 * a2)
+
+    # --- per-ray dt (radius-proportional growth; integrate._dt_eff) -------
+    dt = _dt_soa(x0, x1, x2, active, scal, enabled, kerr, power)
+
+    # --- RK4 on the Hamiltonian system (geodesic.schwarzschild_rhs /
+    #     geodesic.ks_rhs) ---------------------------------------------------
+    rhs = (_rhs_kerr_soa(mass, spin, E) if kerr
+           else _rhs_schw_soa(mass, E))
     h = dt
 
     def axpy(c, ks):
@@ -277,6 +303,96 @@ def _soa_step(xp, lam, status, hit_obj, scal, sph, *, has_disk, n_sph,
         lam1 = jnp.where(sel, lam + dt * td, lam1)
 
     return (y0, y1, y2, q0, q1, q2, E), lam1, st, obj1
+
+
+def _step_adjoint_free(xp, status, scal, g6, *, kerr, power, enabled):
+    """Hand-written transpose of one _soa_step for EVENT-FREE configs
+    (no disk, no spheres): RK4-skeleton adjoint with per-stage ``jax.vjp``
+    of the bare RHS, applied in reverse with the stage point recomputed at
+    transpose time -- so only ONE stage's vjp residuals are ever live
+    (the whole-step ``jax.vjp`` keeps all four stages' residuals plus the
+    event/classification graph alive, which is what forced Kerr tiles down
+    to sub=32).  Exactly equal to ``jax.vjp`` of ``_soa_step(...)[:6]``:
+    for event-free configs the step's differentiable surface is
+    y = where(active & finite, rk4(x, dt(x)), x), and `finite`/`status`
+    are boolean constants under the vjp.
+
+    Args: taped pre-step state ``xp`` = (x0..p2, E), taped ``status``,
+    scalar vector, output cotangents ``g6``.  Returns (g_xp(6), gE, gscal).
+    """
+    x0, x1, x2, p0, p1, p2, E = xp
+    active = status == states.ACTIVE
+
+    def dt_fn(a0, a1, a2, scal_):
+        return _dt_soa(a0, a1, a2, active, scal_, enabled, kerr, power)
+
+    h, dt_vjp = jax.vjp(dt_fn, x0, x1, x2, scal)
+
+    def rhs_fn(a0, a1, a2, b0, b1, b2, E_, scal_):
+        rhs = (_rhs_kerr_soa(scal_[0], scal_[9], E_) if kerr
+               else _rhs_schw_soa(scal_[0], E_))
+        return rhs(a0, a1, a2, b0, b1, b2)
+
+    # --- forward stage chain (primal only; matches _soa_step's RK4) -------
+    y = (x0, x1, x2, p0, p1, p2)
+
+    def axpy(c, ks):
+        return tuple(b + c * k for b, k in zip(y, ks))
+
+    ka = rhs_fn(*y, E, scal)
+    yb = axpy(0.5 * h, ka)
+    kb = rhs_fn(*yb, E, scal)
+    yc = axpy(0.5 * h, kb)
+    kc = rhs_fn(*yc, E, scal)
+    yd = axpy(h, kc)
+    kd = rhs_fn(*yd, E, scal)
+    s6 = h * (1.0 / 6.0)
+    ksum = tuple(ka[i] + 2.0 * (kb[i] + kc[i]) + kd[i] for i in range(6))
+    ynew = tuple(y[i] + s6 * ksum[i] for i in range(6))
+
+    finite = jnp.isfinite(ynew[0])
+    for comp in ynew[1:]:
+        finite &= jnp.isfinite(comp)
+    upd = active & finite
+
+    # --- transpose of the freeze merge  y' = where(upd, ynew, y) ----------
+    gy = tuple(jnp.where(upd, g, 0.0) for g in g6)
+    g_old = tuple(jnp.where(upd, 0.0, g) for g in g6)
+
+    # --- transpose of the RK4 skeleton -------------------------------------
+    gh = (1.0 / 6.0) * sum(gy[i] * ksum[i] for i in range(6))
+    gx = list(gy)                      # identity path y' <- y
+    # stage d (input yd = y + h kc)
+    _, vjp_d = jax.vjp(rhs_fn, *yd, E, scal)
+    gd = vjp_d(tuple(s6 * gy[i] for i in range(6)))
+    gh += sum(gd[i] * kc[i] for i in range(6))
+    gkc = tuple(2.0 * s6 * gy[i] + h * gd[i] for i in range(6))
+    # stage c (input yc = y + h/2 kb)
+    _, vjp_c = jax.vjp(rhs_fn, *yc, E, scal)
+    gc = vjp_c(gkc)
+    gh += 0.5 * sum(gc[i] * kb[i] for i in range(6))
+    gkb = tuple(2.0 * s6 * gy[i] + 0.5 * h * gc[i] for i in range(6))
+    # stage b (input yb = y + h/2 ka)
+    _, vjp_b = jax.vjp(rhs_fn, *yb, E, scal)
+    gb = vjp_b(gkb)
+    gh += 0.5 * sum(gb[i] * ka[i] for i in range(6))
+    gka = tuple(s6 * gy[i] + 0.5 * h * gb[i] for i in range(6))
+    # stage a (input y)
+    _, vjp_a = jax.vjp(rhs_fn, *y, E, scal)
+    ga = vjp_a(gka)
+    for i in range(6):
+        gx[i] += gd[i] + gc[i] + gb[i] + ga[i]
+    gE = gd[6] + gc[6] + gb[6] + ga[6]
+    gscal = gd[7] + gc[7] + gb[7] + ga[7]
+
+    # --- transpose of the per-ray dt ---------------------------------------
+    gdt = dt_vjp(gh)
+    gx[0] += gdt[0]
+    gx[1] += gdt[1]
+    gx[2] += gdt[2]
+    gscal = gscal + gdt[3]
+
+    return tuple(g_old[i] + gx[i] for i in range(6)), gE, gscal
 
 
 # =============================================================================
@@ -439,6 +555,17 @@ def _bwd_kernel(scal_ref, sph_ref,
 
                 def adjoint(c):
                     vx0, vx1, vx2, vp0, vp1, vp2, vE, vscal, vsph = c
+                    if not has_disk and not n_sph:
+                        # event-free: hand RK4-skeleton adjoint (sequential
+                        # per-stage vjp, ~4x smaller live residuals)
+                        g6, gE, gscal = _step_adjoint_free(
+                            (tx0[i], tx1[i], tx2[i],
+                             tp0[i], tp1[i], tp2[i], E),
+                            tst[i], scal,
+                            (vx0, vx1, vx2, vp0, vp1, vp2),
+                            kerr=kerr, power=power,
+                            enabled=s * seg + i < n_steps)
+                        return (*g6, vE + gE, vscal + gscal, vsph)
                     _, vjp = jax.vjp(
                         step_out,
                         tx0[i], tx1[i], tx2[i], tp0[i], tp1[i], tp2[i],
@@ -657,9 +784,10 @@ def integrate_pallas(env, s0, cfg, *, sub: int | None = None,
         # Widest tile whose backward working set -- the seg-step stage tape
         # plus all n_seg checkpoints plus I/O rows, 8 f32 components each --
         # fits the ~12 MB VMEM budget (sweep on v5e: sub=64 beats 32 by
-        # ~15% at 152 steps; 128 fails to compile).  The Kerr adjoint's
-        # vjp temporaries roughly double the per-step footprint (v5e
-        # compile OOMs at sub=64), hence the factor.
+        # ~15% at 152 steps; 128 fails to compile).  Kerr's adjoint
+        # residuals (even the one-stage-deep _step_adjoint_free ones, with
+        # the double-buffered checkpoint blocks on top) overflow the 16 MB
+        # scoped-VMEM limit at sub=64, so Kerr stays at sub=32.
         n_seg_est = -(-cfg.n_steps // seg)
         comp = 16 if env.spin is not None else 8
         sub = 16
