@@ -333,19 +333,31 @@ def _step_adjoint_free(xp, status, scal, g6, *, kerr, power, enabled):
                else _rhs_schw_soa(scal_[0], E_))
         return rhs(a0, a1, a2, b0, b1, b2)
 
-    # --- forward stage chain (primal only; matches _soa_step's RK4) -------
+    # --- forward stage chain (matches _soa_step's RK4) ---------------------
+    # Schwarzschild: take each stage's vjp DURING the chain (one rhs primal
+    # per stage; all four residual sets coexist -- small for this RHS).
+    # Kerr: recompute the vjp point at transpose time instead, so only one
+    # stage's (much larger) residuals are ever live; costs one extra primal
+    # rhs per stage but keeps sub=32 compiling.
     y = (x0, x1, x2, p0, p1, p2)
 
     def axpy(c, ks):
         return tuple(b + c * k for b, k in zip(y, ks))
 
-    ka = rhs_fn(*y, E, scal)
+    def stage(pt):
+        if kerr:
+            return rhs_fn(*pt, E, scal), lambda g: jax.vjp(
+                rhs_fn, *pt, E, scal)[1](g)
+        k, vjp = jax.vjp(rhs_fn, *pt, E, scal)
+        return k, vjp
+
+    ka, vjp_a = stage(y)
     yb = axpy(0.5 * h, ka)
-    kb = rhs_fn(*yb, E, scal)
+    kb, vjp_b = stage(yb)
     yc = axpy(0.5 * h, kb)
-    kc = rhs_fn(*yc, E, scal)
+    kc, vjp_c = stage(yc)
     yd = axpy(h, kc)
-    kd = rhs_fn(*yd, E, scal)
+    kd, vjp_d = stage(yd)
     s6 = h * (1.0 / 6.0)
     ksum = tuple(ka[i] + 2.0 * (kb[i] + kc[i]) + kd[i] for i in range(6))
     ynew = tuple(y[i] + s6 * ksum[i] for i in range(6))
@@ -363,22 +375,18 @@ def _step_adjoint_free(xp, status, scal, g6, *, kerr, power, enabled):
     gh = (1.0 / 6.0) * sum(gy[i] * ksum[i] for i in range(6))
     gx = list(gy)                      # identity path y' <- y
     # stage d (input yd = y + h kc)
-    _, vjp_d = jax.vjp(rhs_fn, *yd, E, scal)
     gd = vjp_d(tuple(s6 * gy[i] for i in range(6)))
     gh += sum(gd[i] * kc[i] for i in range(6))
     gkc = tuple(2.0 * s6 * gy[i] + h * gd[i] for i in range(6))
     # stage c (input yc = y + h/2 kb)
-    _, vjp_c = jax.vjp(rhs_fn, *yc, E, scal)
     gc = vjp_c(gkc)
     gh += 0.5 * sum(gc[i] * kb[i] for i in range(6))
     gkb = tuple(2.0 * s6 * gy[i] + 0.5 * h * gc[i] for i in range(6))
     # stage b (input yb = y + h/2 ka)
-    _, vjp_b = jax.vjp(rhs_fn, *yb, E, scal)
     gb = vjp_b(gkb)
     gh += 0.5 * sum(gb[i] * ka[i] for i in range(6))
     gka = tuple(s6 * gy[i] + 0.5 * h * gb[i] for i in range(6))
     # stage a (input y)
-    _, vjp_a = jax.vjp(rhs_fn, *y, E, scal)
     ga = vjp_a(gka)
     for i in range(6):
         gx[i] += gd[i] + gc[i] + gb[i] + ga[i]
@@ -774,10 +782,11 @@ def integrate_pallas(env, s0, cfg, *, sub: int | None = None,
             hit_obj=out.hit_obj.reshape(batch))
     n = s0.E.shape[0]
     if seg is None:
-        # ~sqrt(n_steps), floored at 32: larger segments mean fewer
-        # checkpoint writes and (empirically) far faster Mosaic compiles,
-        # at slightly more recompute in the backward sweep.
-        seg = 32
+        # Sweep on v5e (112-step flagship): seg=16 edges out 32 (smaller
+        # stage tape, better VMEM locality in the backward sweep) and both
+        # beat 8 (checkpoint-write overhead) -- grow past 16 only for very
+        # deep integrations to bound the checkpoint count.
+        seg = 16
         while seg * seg < cfg.n_steps:
             seg *= 2
     if sub is None:
@@ -837,7 +846,9 @@ def integrate_pallas(env, s0, cfg, *, sub: int | None = None,
         cz = x0f * p1f - x1f * p0f
         key = jnp.max(cx * cx + cy * cy + cz * cz, axis=1)
         order = jnp.argsort(lax.stop_gradient(key))
-        inv_order = jnp.argsort(order)
+        # inverse permutation via scatter (a second argsort costs ~1 ms)
+        inv_order = jnp.zeros_like(order).at[order].set(
+            jnp.arange(rows, dtype=order.dtype), unique_indices=True)
         comps = [c[order] for c in comps]
         st0 = st0[order]
         obj0 = obj0[order]
