@@ -23,6 +23,67 @@ import time
 import numpy as np
 
 
+def check_pallas_parity():
+    """On-hardware correctness gate: the Mosaic-COMPILED Pallas integrator
+    must agree with the XLA scan path on final states, statuses and the
+    mass gradient.  (The test suite checks parity in interpret mode on CPU;
+    a Mosaic miscompile or on-chip f32 drift would otherwise ship silently
+    inside a great rays/s number.)  The ray fan spans impact parameters
+    b in [1.5, 12] but skirts the critical band around b_c = 3 sqrt(3) M
+    ~ 2.6, where float-noise amplification is exponential and ANY two
+    correct implementations diverge.  Fails loudly (SystemExit)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from blackhole_geodesic_calculator_tpu.ops import (
+        IntegratorConfig, states,
+    )
+    from blackhole_geodesic_calculator_tpu.ops.integrate import (
+        GeodesicEnv, launch,
+    )
+
+    n = 4096
+    b = np.concatenate([np.linspace(1.5, 2.45, n // 2),
+                        np.linspace(2.75, 12.0, n - n // 2)])
+    ang = np.linspace(0.0, 2 * np.pi, n, endpoint=False)
+    x0 = jnp.asarray(np.stack(
+        [b * np.cos(ang), b * np.sin(ang), np.full(n, 25.0)], -1),
+        jnp.float32)
+    d0 = jnp.asarray(np.tile([0.0, 0.0, -1.0], (n, 1)), jnp.float32)
+
+    def run(backend, mass):
+        cfg = IntegratorConfig(n_steps=112, dt=0.10, dt_boost=64.0,
+                               dt_boost_r_ref=1.6, dt_power=1.5,
+                               backend=backend)
+        env = GeodesicEnv(mass=mass, r_capture=jnp.float32(1.0),
+                          r_escape=jnp.float32(70.0),
+                          lam_max=jnp.float32(100.0))
+        return launch(env, x0, d0, cfg)
+
+    def loss(backend, mass):
+        s = run(backend, mass)
+        return jnp.sum(s.x ** 2) * 1e-6
+
+    sp = jax.jit(lambda m: run("pallas", m))(jnp.float32(0.5))
+    ss = jax.jit(lambda m: run("scan", m))(jnp.float32(0.5))
+    st_p, st_s = np.asarray(sp.status), np.asarray(ss.status)
+    agree = st_p == st_s
+    frac = agree.mean()
+    xerr = float(np.abs(np.asarray(sp.x) - np.asarray(ss.x))[agree].max())
+    gp = float(jax.jit(jax.grad(lambda m: loss("pallas", m)))(
+        jnp.float32(0.5)))
+    gs = float(jax.jit(jax.grad(lambda m: loss("scan", m)))(
+        jnp.float32(0.5)))
+    gerr = abs(gp - gs) / max(abs(gs), 1e-6)
+    ok = frac >= 0.998 and xerr < 0.05 and gerr < 0.01
+    print(f"# pallas-parity-check statuses={frac:.4f} "
+          f"max|dx|={xerr:.3e} dmass_rel={gerr:.3e} "
+          f"{'OK' if ok else 'FAIL'}", file=sys.stderr)
+    if not ok:
+        raise SystemExit("pallas parity check FAILED")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=1024)
@@ -33,6 +94,8 @@ def main():
                     "test_bench_schedule_accuracy)")
     ap.add_argument("--repeat", type=int, default=5)
     ap.add_argument("--fwd-only", action="store_true")
+    ap.add_argument("--no-check", action="store_true",
+                    help="skip the on-hardware Pallas-vs-XLA parity gate")
     args = ap.parse_args()
 
     import jax
@@ -88,6 +151,9 @@ def main():
         c = dataclasses.replace(cam, position=cam_pos)
         img = render_image(scene, c, cfg)
         return jnp.mean(img[..., :3] ** 2)
+
+    if not args.no_check:
+        check_pallas_parity()
 
     params = (jnp.asarray(0.5), cam.position, sky)
     if args.fwd_only:

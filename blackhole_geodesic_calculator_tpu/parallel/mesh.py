@@ -46,3 +46,21 @@ def ray_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def put_global(x, sharding: NamedSharding):
+    """``device_put`` that also works when ``sharding`` spans processes.
+
+    Single-process: plain ``jax.device_put``.  Multi-process: every process
+    holds the SAME full logical value (pixel grids, replicated scene
+    params -- all deterministic), and each contributes its addressable
+    shards via ``make_array_from_callback``.  Works on pytrees.
+    """
+    def put(leaf):
+        if jax.process_count() == 1:
+            return jax.device_put(leaf, sharding)
+        arr = np.asarray(leaf)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx])
+
+    return jax.tree.map(put, x)

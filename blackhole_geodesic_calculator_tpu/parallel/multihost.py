@@ -43,6 +43,13 @@ def init_distributed(coordinator_address: str | None = None,
     """
     if num_processes is not None and num_processes <= 1:
         return False
+    try:  # already initialized earlier in this process: success no-op
+        from jax._src import distributed as _dist
+
+        if getattr(_dist.global_state, "client", None) is not None:
+            return True
+    except ImportError:  # private module moved; fall through to initialize
+        pass
     auto = (coordinator_address is None and num_processes is None
             and process_id is None)
     try:

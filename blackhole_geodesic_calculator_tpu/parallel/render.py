@@ -32,7 +32,7 @@ from jax.experimental.shard_map import shard_map
 from ..camera.pinhole import Camera
 from ..render.renderer import RenderConfig, render_rays
 from ..scene.scene import Scene
-from .mesh import RAY_AXIS, SAMPLE_AXIS, make_mesh
+from .mesh import RAY_AXIS, SAMPLE_AXIS, make_mesh, put_global
 
 Array = jax.Array
 
@@ -105,22 +105,22 @@ def render_image_sharded(
     ys, xs, perm, _ = _flat_pixels(cfg, n_ray)
     shard = NamedSharding(mesh, P(RAY_AXIS))
     repl = NamedSharding(mesh, P())
-    ys = jax.device_put(ys, shard)
-    xs = jax.device_put(xs, shard)
-    scene = jax.device_put(scene, repl)
-    cam = jax.device_put(cam, repl)
+    ys = put_global(ys, shard)
+    xs = put_global(xs, shard)
+    scene = put_global(scene, repl)
+    cam = put_global(cam, repl)
 
     multisample = not (cfg.samples == 1 and key is None)
     if multisample:
         if key is None:
             key = jax.random.PRNGKey(cfg.seed)
-        keys = jax.device_put(
+        keys = put_global(
             jax.random.split(key, cfg.samples),
             NamedSharding(mesh, P(SAMPLE_AXIS)),
         )
     else:
         # dummy replicated-shape keys array (unused)
-        keys = jax.device_put(
+        keys = put_global(
             jnp.zeros((n_smp, 2), jnp.uint32),
             NamedSharding(mesh, P(SAMPLE_AXIS)),
         )
@@ -128,10 +128,17 @@ def render_image_sharded(
     fn = _sharded_render_fn(mesh, cfg, multisample)
     rgb = fn(scene, cam, keys, ys, xs)
 
-    # Host-side framebuffer assembly (the reference's progressive buffer
-    # write, RelativisticRenderEngine.py:162): unpermute and fill the frame.
+    # Framebuffer assembly (the reference's progressive buffer write,
+    # RelativisticRenderEngine.py:162): unpermute and fill the frame.  Jitted
+    # with a REPLICATED output so it works when the mesh spans processes --
+    # XLA inserts the all-gather and every host ends up with the full frame
+    # (the multi-host counterpart of the reference's update_result flush).
     x0, x1, y0, y1 = cfg.crop()
     hc, wc = y1 - y0, x1 - x0
-    flat = jnp.zeros((hc * wc, 3), rgb.dtype).at[perm].set(rgb)
-    full = jnp.ones((cfg.height, cfg.width, 4), rgb.dtype)
-    return full.at[y0:y1, x0:x1, :3].set(flat.reshape(hc, wc, 3))
+
+    def assemble(rgb, perm):
+        flat = jnp.zeros((hc * wc, 3), rgb.dtype).at[perm].set(rgb)
+        full = jnp.ones((cfg.height, cfg.width, 4), rgb.dtype)
+        return full.at[y0:y1, x0:x1, :3].set(flat.reshape(hc, wc, 3))
+
+    return jax.jit(assemble, out_shardings=repl)(rgb, put_global(perm, repl))

@@ -28,7 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..camera.pinhole import Camera
 from ..render.renderer import RenderConfig, render_rays
 from ..scene.scene import Scene
-from .mesh import RAY_AXIS, SAMPLE_AXIS, make_mesh
+from .mesh import RAY_AXIS, SAMPLE_AXIS, make_mesh, put_global
 from .render import _flat_pixels
 
 Array = jax.Array
@@ -96,7 +96,7 @@ class Trainer:
         ))
 
     def init(self, params):
-        return jax.device_put(self.optimizer.init(params), self._repl)
+        return put_global(self.optimizer.init(params), self._repl)
 
     def shard_target(self, target_image: Array):
         """(H, W, 3) target -> flat sharded (N, 3) in ray-slot order."""
@@ -104,9 +104,9 @@ class Trainer:
         x0, x1, y0, y1 = self.cfg.crop()
         flat = target_image[y0:y1, x0:x1, :3].reshape(-1, 3)[perm]
         return (
-            jax.device_put(flat, self._shard),
-            jax.device_put(ys, self._shard),
-            jax.device_put(xs, self._shard),
+            put_global(flat, self._shard),
+            put_global(ys, self._shard),
+            put_global(xs, self._shard),
         )
 
     def step(self, params, opt_state, target_flat, ys, xs, keys):
@@ -143,15 +143,15 @@ class Trainer:
         if key is None:
             key = jax.random.PRNGKey(self.cfg.seed)
         target_flat, ys, xs = self.shard_target(target_image)
-        params = jax.device_put(params, self._repl)
+        params = put_global(params, self._repl)
         opt_state = self.init(params)
         keys_sharding = NamedSharding(self.mesh, P(SAMPLE_AXIS))
         n_keys = max(self.cfg.samples, self._n_smp)
         losses = []
         for i in range(n_steps):
             key, sub = jax.random.split(key)
-            keys = jax.device_put(jax.random.split(sub, n_keys),
-                                  keys_sharding)
+            keys = put_global(jax.random.split(sub, n_keys),
+                              keys_sharding)
             params, opt_state, loss = self.step(
                 params, opt_state, target_flat, ys, xs, keys
             )
