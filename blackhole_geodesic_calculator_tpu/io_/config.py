@@ -75,6 +75,17 @@ class SceneConfig:
     height: int = 256
     n_steps: int = 512
     backend: str = "auto"
+    # 'rk4' (fixed-step, Pallas-accelerated) or 'dopri' (adaptive
+    # Dormand-Prince 5(4), the reference's scipy-RK45 twin --
+    # /root/reference/README.md:196-211; 'max_integration_step' bounds the
+    # adaptive step exactly like the reference passes max_step to
+    # solve_ivp, RelativisticRenderEngine.py:293).  'dopri' + mode='scan'
+    # is differentiable (exact discrete adjoint of the adaptive scheme);
+    # mode='while' is the cheaper forward-only twin.
+    method: str = "rk4"
+    mode: str = "scan"
+    rtol: float = 1e-5
+    atol: float = 1e-8
     # radius-proportional step growth (ops/integrate.IntegratorConfig)
     dt_boost: float = 8.0
     dt_boost_r_ref: float = 0.0
@@ -174,6 +185,10 @@ def build_scene(cfg: SceneConfig) -> tuple[Scene, Camera, RenderConfig]:
         seed=cfg.sampling_seed,
         integrator=IntegratorConfig(
             n_steps=cfg.n_steps, dt=cfg.max_integration_step,
+            method=cfg.method, mode=cfg.mode,
+            rtol=cfg.rtol, atol=cfg.atol,
+            max_step=(cfg.max_integration_step if cfg.method == "dopri"
+                      and cfg.max_integration_step > 0 else np.inf),
             backend=cfg.backend, dt_boost=cfg.dt_boost,
             dt_boost_r_ref=cfg.dt_boost_r_ref, dt_power=cfg.dt_power),
         lam_max=cfg.integration_depth if cfg.integration_depth > 0

@@ -19,6 +19,7 @@ from .integrate import (
     integrate_fixed,
     integrate_fixed_fast,
     integrate_adaptive,
+    integrate_adaptive_scan,
     launch,
     trajectory,
     final_direction,

@@ -402,10 +402,13 @@ def integrate_adaptive(env: GeodesicEnv, s0: RayState, cfg: IntegratorConfig):
         x5, p5, ex, ep = dopri_step(env, s.x, s.p, s.E, dt)
         scale_x = cfg.atol + cfg.rtol * jnp.maximum(jnp.abs(s.x), jnp.abs(x5))
         scale_p = cfg.atol + cfg.rtol * jnp.maximum(jnp.abs(s.p), jnp.abs(p5))
-        err = jnp.sqrt(
-            (jnp.sum((ex / scale_x) ** 2, -1) + jnp.sum((ep / scale_p) ** 2, -1))
-            / 6.0
-        )
+        # double-where guard: sqrt has an infinite derivative at 0, and
+        # frozen rays (dt = 0) have exactly zero embedded error -- without
+        # the guard the adjoint turns their zero cotangent into NaN.
+        err2 = (jnp.sum((ex / scale_x) ** 2, -1)
+                + jnp.sum((ep / scale_p) ** 2, -1)) / 6.0
+        err = jnp.where(err2 > 0, jnp.sqrt(jnp.where(err2 > 0, err2, 1.0)),
+                        0.0)
         accept = (err <= 1.0) | (h <= cfg.min_step)
         # Frozen rays neither accept nor rescale.
         accept = accept & s.active
@@ -432,6 +435,69 @@ def integrate_adaptive(env: GeodesicEnv, s0: RayState, cfg: IntegratorConfig):
     return s, nacc
 
 
+def integrate_adaptive_scan(env: GeodesicEnv, s0: RayState,
+                            cfg: IntegratorConfig) -> RayState:
+    """Differentiable Dormand-Prince 5(4): the SAME per-ray accept/reject
+    controller as ``integrate_adaptive``, but under a fixed-trip-count
+    remat-checkpointed ``lax.scan`` so ``jax.grad`` works end to end.
+
+    This is the exact discrete adjoint of the adaptive scheme
+    (discretize-then-optimize): the step-size controller is part of the
+    differentiated program, so gradients account for h's dependence on the
+    state.  Frozen/converged rays run masked no-op trips (dt = 0), which is
+    what buys the static trip count the scan needs; use mode='while'
+    (``integrate_adaptive``) for the cheaper forward-only twin.  Parity
+    with the while-loop path is tested (same discrete trajectory).
+    """
+    h0 = jnp.minimum(cfg.dt, cfg.max_step)
+    h_init = jnp.full(s0.E.shape, h0, s0.x.dtype)
+
+    def body(carry, _):
+        s, h = carry
+        dt = jnp.where(s.active, h, 0.0)
+        x5, p5, ex, ep = dopri_step(env, s.x, s.p, s.E, dt)
+        scale_x = cfg.atol + cfg.rtol * jnp.maximum(jnp.abs(s.x), jnp.abs(x5))
+        scale_p = cfg.atol + cfg.rtol * jnp.maximum(jnp.abs(s.p), jnp.abs(p5))
+        # double-where guard: sqrt has an infinite derivative at 0, and
+        # frozen rays (dt = 0) have exactly zero embedded error -- without
+        # the guard the adjoint turns their zero cotangent into NaN.
+        err2 = (jnp.sum((ex / scale_x) ** 2, -1)
+                + jnp.sum((ep / scale_p) ** 2, -1)) / 6.0
+        err = jnp.where(err2 > 0, jnp.sqrt(jnp.where(err2 > 0, err2, 1.0)),
+                        0.0)
+        accept = ((err <= 1.0) | (h <= cfg.min_step)) & s.active
+        s1 = _apply_events(env, s, x5, p5, dt)
+        s = jax.tree.map(
+            lambda a, b: jnp.where(
+                jnp.reshape(accept,
+                            accept.shape + (1,) * (a.ndim - accept.ndim)),
+                b, a),
+            s, s1,
+        )
+        factor = 0.9 * jnp.where(err > 0, err, 1e-10) ** -0.2
+        factor = jnp.clip(factor, 0.2, 5.0)
+        h = jnp.where(
+            s.active, jnp.clip(h * factor, cfg.min_step, cfg.max_step), h
+        )
+        return (s, h), None
+
+    seg = cfg.remat_segment or max(1, int(cfg.n_steps**0.5))
+    n_full = cfg.n_steps // seg
+    rem = cfg.n_steps % seg
+
+    def one_segment(carry, _):
+        carry, _ = lax.scan(body, carry, None, length=seg)
+        return carry, None
+
+    segf = jax.checkpoint(one_segment) if seg > 1 else one_segment
+    carry = (s0, h_init)
+    if n_full:
+        carry, _ = lax.scan(segf, carry, None, length=n_full)
+    if rem:
+        carry, _ = lax.scan(body, carry, None, length=rem)
+    return carry[0]
+
+
 def _use_pallas(env, cfg: IntegratorConfig) -> bool:
     if cfg.backend == "pallas":
         return True
@@ -444,7 +510,9 @@ def _use_pallas(env, cfg: IntegratorConfig) -> bool:
 
 def integrate(env: GeodesicEnv, s0: RayState, cfg: IntegratorConfig) -> RayState:
     if cfg.method == "dopri":
-        return integrate_adaptive(env, s0, cfg)[0]
+        if cfg.mode == "while":       # forward-only fast path
+            return integrate_adaptive(env, s0, cfg)[0]
+        return integrate_adaptive_scan(env, s0, cfg)
     if _use_pallas(env, cfg):
         from .pallas_kernel import integrate_pallas
 

@@ -237,3 +237,70 @@ def test_adaptive_matches_fixed_deflection():
     np.testing.assert_allclose(d_a, d_f, atol=2e-3)
     # adaptive should be dramatically cheaper than the fixed grid
     assert int(nacc[0]) < 4000
+
+
+def test_adaptive_scan_matches_while_loop():
+    """The differentiable scan form of Dormand-Prince must reproduce the
+    while-loop path's discrete trajectory exactly: same controller, same
+    accept/reject decisions, same final states and statuses."""
+    from blackhole_geodesic_calculator_tpu.ops.integrate import (
+        integrate_adaptive, integrate_adaptive_scan,
+    )
+
+    n = 13
+    b = np.linspace(1.8, 8.0, n)
+    x0 = jnp.asarray(np.stack([b, np.zeros(n), np.full(n, 20.0)], -1),
+                     jnp.float32)
+    d0 = jnp.asarray(np.tile([0.0, 0.0, -1.0], (n, 1)), jnp.float32)
+    env = GeodesicEnv(mass=jnp.float32(0.5), r_capture=jnp.float32(1.0),
+                      r_escape=jnp.float32(45.0), lam_max=jnp.float32(80.0))
+    cfg = IntegratorConfig(n_steps=400, dt=0.1, method="dopri",
+                           rtol=1e-5, atol=1e-8, max_step=2.0)
+    p0, E0 = null_init(x0, d0, env.mass)
+    s0 = states.init_state(x0, p0, E0)
+
+    s_while, nacc = integrate_adaptive(env, s0, cfg)
+    s_scan = integrate_adaptive_scan(env, s0, cfg)
+    assert int(nacc.max()) < cfg.n_steps  # budget was not the terminator
+    np.testing.assert_array_equal(np.asarray(s_while.status),
+                                  np.asarray(s_scan.status))
+    np.testing.assert_allclose(np.asarray(s_while.x), np.asarray(s_scan.x),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_while.p), np.asarray(s_scan.p),
+                               rtol=0, atol=1e-6)
+
+
+def test_adaptive_scan_gradient_matches_fd():
+    """jax.grad through the adaptive integrator (exact discrete adjoint of
+    the accept/reject scheme) vs central finite differences on the mass."""
+    from blackhole_geodesic_calculator_tpu.ops.integrate import (
+        integrate_adaptive_scan,
+    )
+
+    n = 5
+    b = np.linspace(3.2, 6.0, n)  # escapers, away from the critical band
+    x0 = jnp.asarray(np.stack([b, np.zeros(n), np.full(n, 15.0)], -1),
+                     jnp.float64 if jax.config.jax_enable_x64
+                     else jnp.float32)
+    d0 = jnp.asarray(np.tile([0.0, 0.0, -1.0], (n, 1)), jnp.float32)
+    cfg = IntegratorConfig(n_steps=300, dt=0.1, method="dopri",
+                           rtol=1e-6, atol=1e-9, max_step=1.0)
+
+    def loss(m):
+        env = GeodesicEnv(mass=m, r_capture=jnp.float32(1.0),
+                          r_escape=jnp.float32(35.0),
+                          lam_max=jnp.float32(80.0))
+        p0, E0 = null_init(x0, d0, m)
+        s0 = states.init_state(x0, p0, E0)
+        s = integrate_adaptive_scan(env, s0, cfg)
+        return jnp.sum(s.p ** 2)
+
+    g = float(jax.grad(loss)(jnp.float32(0.5)))
+    eps = 1e-3
+    fd = float((loss(jnp.float32(0.5 + eps)) - loss(jnp.float32(0.5 - eps)))
+               / (2 * eps))
+    # Loose-ish bound: the FD stencil crosses accept/reject controller
+    # decisions (the adaptive scheme's output is only piecewise-smooth in
+    # m; at rtol=1e-6 the kinks are tiny but visible) and f32 FD itself
+    # carries a few-percent noise floor at this eps.
+    assert abs(g - fd) < 8e-2 * max(1.0, abs(fd)), (g, fd)

@@ -131,3 +131,40 @@ def test_timers_and_benchmark():
     assert dt >= 0 and float(out[0]) == 2.0
     out, best = benchmark(f, jnp.ones(8), warmup=1, repeat=2)
     assert best >= 0
+
+
+def test_config_json_renders_via_dopri(tmp_path):
+    """VERDICT: adaptive Dormand-Prince must be reachable from a config
+    JSON (the reference's actual solver is adaptive scipy RK45,
+    /root/reference/README.md:196-211).  The dopri render must agree with
+    the oracle-scheduled RK4 render."""
+    import json
+
+    from blackhole_geodesic_calculator_tpu.io_.config import (
+        SceneConfig, build_scene, load_config,
+    )
+    from blackhole_geodesic_calculator_tpu.render import render_image
+
+    base = dict(width=24, height=24, sky_image="background",
+                mass=0.5, camera_location=(0.0, 0.0, 15.0),
+                field_of_view_x=0.7, field_of_view_y=0.7,
+                integration_depth=60.0)
+    cfg_path = tmp_path / "dopri.json"
+    cfg_path.write_text(json.dumps(dict(
+        base, method="dopri", n_steps=300, max_integration_step=1.0,
+        rtol=1e-5, atol=1e-8)))
+    cfg = load_config(str(cfg_path))
+    scene, cam, rcfg = build_scene(cfg)
+    assert rcfg.integrator.method == "dopri"
+    assert rcfg.integrator.max_step == 1.0
+    img_dp = np.asarray(render_image(scene, cam, rcfg))
+
+    scene2, cam2, rcfg2 = build_scene(SceneConfig(**dict(
+        base, n_steps=400, max_integration_step=0.05, dt_boost=16.0)))
+    assert rcfg2.integrator.method == "rk4"
+    img_rk = np.asarray(render_image(scene2, cam2, rcfg2))
+
+    assert np.isfinite(img_dp).all()
+    # two accurate integrators agree except near the critical curve
+    diff = np.abs(img_dp - img_rk)
+    assert np.quantile(diff, 0.98) < 0.02, np.quantile(diff, 0.98)
