@@ -90,12 +90,18 @@ class GeodesicIntegratorSchwarzschild:
 
     def __init__(self, mass=0.5, time_like=False, verbose=False, spin=None,
                  backend="jax"):
-        if time_like:
-            raise NotImplementedError(
-                "only null (photon) geodesics, as used by the reference "
-                "(time_like=False, RelativisticRenderEngine.py:134)")
         if backend not in ("jax", "native"):
             raise ValueError(f"unknown backend {backend!r}")
+        if time_like and backend == "native":
+            raise ValueError(
+                "the native f64 oracle integrates null geodesics only; "
+                "use backend='jax' for time_like=True")
+        # time_like=True integrates MASSIVE test particles (the reference
+        # flag at RelativisticRenderEngine.py:134): k0 is then dx/dtau of
+        # any magnitude and the 4-velocity is normalized to
+        # g_{mu nu} u^mu u^nu = -1 (ops/geodesic.timelike_init); the
+        # Hamiltonian integrator is otherwise identical.
+        self.time_like = bool(time_like)
         self.mass = float(mass)
         self.spin = None if spin in (None, 0, 0.0) else float(spin)
         self.verbose = verbose
@@ -139,7 +145,8 @@ class GeodesicIntegratorSchwarzschild:
         single = x0.ndim == 1
         if single:
             x0, d0 = x0[None], d0[None]
-        d0 = d0 / jnp.linalg.norm(d0, axis=-1, keepdims=True)
+        if not self.time_like:   # massive particles keep |dx/dtau|
+            d0 = d0 / jnp.linalg.norm(d0, axis=-1, keepdims=True)
 
         r0 = float(jnp.max(jnp.linalg.norm(x0, axis=-1)))
         resc = r_escape if r_escape is not None else max(
@@ -153,7 +160,8 @@ class GeodesicIntegratorSchwarzschild:
                                dt_boost=1.0, backend="scan")
         env = self._env(resc, curve_end)
 
-        xs, ps, s = trajectory(env, x0, d0, cfg)
+        xs, ps, s = trajectory(env, x0, d0, cfg,
+                               time_like=self.time_like)
         # velocities along the path (coordinate velocity = unit ray speed)
         vs = xdot(xs, ps, s.E[None], env.mass, env.spin)
         if n_store < xs.shape[0]:

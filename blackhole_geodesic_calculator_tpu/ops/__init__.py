@@ -4,6 +4,7 @@ from . import states
 from .states import RayState, init_state
 from .geodesic import (
     null_init,
+    timelike_init,
     xdot,
     schwarzschild_rhs,
     ks_rhs,

@@ -83,6 +83,44 @@ def null_init(x3: Array, d: Array, mass, a=None) -> tuple[Array, Array]:
     return p, E
 
 
+def timelike_init(x3: Array, v: Array, mass, a=None) -> tuple[Array, Array]:
+    """Initial (p3, E) of a MASSIVE particle at ``x3`` with proper-time
+    coordinate velocity ``dx/dtau = v`` (any magnitude; the reference's
+    ``time_like=True`` flag, RelativisticRenderEngine.py:134).
+
+    Closed form from the timelike normalization g_{mu nu} u^mu u^nu = -1
+    with u = (T, v) in the Kerr-Schild chart (g = eta + 2H l l,
+    l_mu = (1, l_i)):
+
+        (q - 1) T^2 + 2 q s T + (|v|^2 + q s^2 + 1) = 0,    q = 2H, s = l.v
+        T = (q s + sqrt(q^2 s^2 + (1 - q)(|v|^2 + q s^2 + 1))) / (1 - q)
+        p_i = v_i + q (T + s) l_i,        E = -p_t = T - q (T + s)
+
+    picking the future root (flat limit: T = sqrt(1 + |v|^2), p = v -- the
+    special-relativistic 4-velocity).  The geodesic RHS is UNCHANGED: the
+    super-Hamiltonian Hh = 1/2(-E^2 + |p|^2) - H w^2 has the same
+    x-dependence for massive and massless particles; only its conserved
+    value differs (-1/2 instead of 0), so the same integrator, events and
+    Pallas kernels apply verbatim.
+    """
+    q, l3, _ = ks_fields(x3, mass, a)
+    s = jnp.sum(l3 * v, axis=-1)
+    v2 = jnp.sum(v * v, axis=-1)
+    one_m_q = 1.0 - q
+    disc = q * q * s * s + one_m_q * (v2 + q * s * s + 1.0)
+    # guarded sqrt/divide: starting inside the horizon (q >= 1) has no
+    # future-timelike solution with this chart split; zero out like
+    # null_init does so frozen INSIDE_HORIZON rays stay NaN-free.
+    valid = (disc > 0) & (one_m_q > 0)
+    T = (q * s + jnp.sqrt(jnp.where(valid, disc, 1.0))) / jnp.where(
+        valid, one_m_q, 1.0)
+    T = jnp.where(valid, T, 1.0)
+    qc = q * (T + s)
+    p = v + qc[..., None] * l3
+    E = T - qc
+    return p, E
+
+
 def xdot(x3: Array, p3: Array, E: Array, mass, a=None) -> Array:
     """Coordinate velocity dx/dlambda = dHh/dp = p - q (E + l.p) l."""
     q, l3, _ = ks_fields(x3, mass, a)

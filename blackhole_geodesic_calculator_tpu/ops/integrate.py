@@ -36,7 +36,8 @@ from jax import lax
 
 from . import states
 from .states import RayState
-from .geodesic import ks_rhs, schwarzschild_rhs, null_init, xdot
+from .geodesic import (ks_rhs, schwarzschild_rhs, null_init,
+                       timelike_init, xdot)
 from ..models.kerr import ks_radius
 
 Array = jax.Array
@@ -526,25 +527,32 @@ def integrate(env: GeodesicEnv, s0: RayState, cfg: IntegratorConfig) -> RayState
 # Launch helper + trajectory recorder (debug / test parity with the
 # reference's stored `nr_points_curve` polylines).
 # =============================================================================
-def launch(env: GeodesicEnv, x0, d0, cfg: IntegratorConfig) -> RayState:
-    """Init null rays at x0 with unit directions d0, then integrate.
+def launch(env: GeodesicEnv, x0, d0, cfg: IntegratorConfig,
+           time_like: bool = False) -> RayState:
+    """Init rays at x0 with coordinate velocities d0, then integrate.
 
+    ``time_like=False`` (photons): d0 must be unit directions.
+    ``time_like=True`` (massive particles, the reference's flag at
+    RelativisticRenderEngine.py:134): d0 is dx/dtau of any magnitude.
     Rays starting inside the horizon are marked INSIDE_HORIZON immediately,
     mirroring the reference's ``start_inside_hole``
     (RelativisticRenderEngine.py:296,311-313).
     """
-    p0, E0 = null_init(x0, d0, env.mass, env.spin)
+    init = timelike_init if time_like else null_init
+    p0, E0 = init(x0, d0, env.mass, env.spin)
     s0 = states.init_state(x0, p0, E0)
     inside = env.radius(x0) <= env.r_capture
     s0.status = jnp.where(inside, states.INSIDE_HORIZON, s0.status)
     return integrate(env, s0, cfg)
 
 
-def trajectory(env: GeodesicEnv, x0, d0, cfg: IntegratorConfig):
+def trajectory(env: GeodesicEnv, x0, d0, cfg: IntegratorConfig,
+               time_like: bool = False):
     """(xs, ps, states) with xs: (n_steps+1, ..., 3) -- the reference's
     ``calc_trajectory`` equivalent for small batches/tests; stores every step.
     """
-    p0, E0 = null_init(x0, d0, env.mass, env.spin)
+    init = timelike_init if time_like else null_init
+    p0, E0 = init(x0, d0, env.mass, env.spin)
     s0 = states.init_state(x0, p0, E0)
 
     def body(s, _):
