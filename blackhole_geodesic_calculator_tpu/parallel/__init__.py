@@ -11,11 +11,12 @@ from .render import render_image_sharded
 from .train import Trainer, default_loss
 from .multihost import (
     init_distributed, global_mesh, gather_image, render_shards_with_retry,
+    render_with_failover,
 )
 
 __all__ = [
     "make_mesh", "ray_sharding", "replicated", "RAY_AXIS", "SAMPLE_AXIS",
     "render_image_sharded", "Trainer", "default_loss",
     "init_distributed", "global_mesh", "gather_image",
-    "render_shards_with_retry",
+    "render_shards_with_retry", "render_with_failover",
 ]

@@ -122,3 +122,49 @@ def render_shards_with_retry(
                     raise
                 time.sleep(backoff_s * attempt)
     return out
+
+
+def render_with_failover(scene, cam, cfg, mesh=None, key=None,
+                         max_retries: int = 2,
+                         on_event: Callable[[str], None] | None = None,
+                         probe: Callable[[], list] | None = None):
+    """``render_image_sharded`` with device-loss failover.
+
+    Fault-tolerance by construction, integrated with the sharded renderer:
+    the render is a pure seeded function of (scene, cam, cfg), so ANY mesh
+    over ANY surviving device set produces bit-comparable pixels.  On a
+    failure the frame is retried on the same mesh (transient faults:
+    preemption, interconnect resets); if the mesh's devices keep failing,
+    the mesh is REBUILT over the currently-live device set -- dropping to
+    as few as one device -- and the frame re-rendered deterministically.
+    This is the lost-device story the per-shard retry helper
+    (``render_shards_with_retry``) does not cover: the mesh shrinks,
+    nothing else changes.
+
+    ``probe`` returns the currently-live device list (default
+    ``jax.devices``, which re-raises if the whole backend died -- nothing
+    to fail over to then; injectable for tests and for runtimes with their
+    own health checks).
+    """
+    from . import render as _render
+
+    log = on_event or (lambda msg: None)
+    probe = probe or jax.devices
+    if mesh is None:
+        mesh = make_mesh()
+    attempt = 0
+    while True:
+        try:
+            return _render.render_image_sharded(scene, cam, cfg, mesh=mesh,
+                                                key=key)
+        except Exception as e:  # noqa: BLE001 -- any device/runtime fault
+            attempt += 1
+            log(f"render on {mesh.devices.size}-device mesh failed "
+                f"(attempt {attempt}): {e!r}")
+            if attempt > max_retries:
+                raise
+            alive = list(probe())
+            if 0 < len(alive) < mesh.devices.size:
+                log(f"mesh reconfigured: {mesh.devices.size} -> "
+                    f"{len(alive)} devices")
+                mesh = make_mesh(alive)

@@ -89,3 +89,49 @@ def test_render_shards_with_retry_gives_up():
 
     with pytest.raises(RuntimeError, match="permanent fault"):
         render_shards_with_retry(shard, 1, max_retries=1, backoff_s=0.0)
+
+
+def test_render_with_failover_reconfigures_mesh(monkeypatch):
+    """A persistently-failing mesh is rebuilt over the surviving device set
+    (reported by the liveness probe) and the frame re-rendered -- pixel
+    parity with a healthy render, events record the reconfiguration."""
+    from blackhole_geodesic_calculator_tpu.parallel import (
+        make_mesh, render_image_sharded, render_with_failover,
+    )
+    from blackhole_geodesic_calculator_tpu.parallel import render as prender
+
+    scene, cam, cfg = _tiny_scene()
+    healthy = np.asarray(render_image_sharded(
+        scene, cam, cfg, mesh=make_mesh(jax.devices()[:4])))
+
+    real = prender.render_image_sharded
+
+    def flaky(scene, cam, cfg, mesh=None, key=None):
+        if mesh is not None and mesh.devices.size == 8:
+            raise RuntimeError("injected: device 7 lost")
+        return real(scene, cam, cfg, mesh=mesh, key=key)
+
+    monkeypatch.setattr(prender, "render_image_sharded", flaky)
+    events = []
+    img = np.asarray(render_with_failover(
+        scene, cam, cfg, mesh=make_mesh(jax.devices()),
+        on_event=events.append, probe=lambda: jax.devices()[:4]))
+    assert any("reconfigured: 8 -> 4" in e for e in events), events
+    np.testing.assert_allclose(img, healthy, atol=2e-6)
+
+
+def test_render_with_failover_gives_up(monkeypatch):
+    from blackhole_geodesic_calculator_tpu.parallel import (
+        render_with_failover,
+    )
+    from blackhole_geodesic_calculator_tpu.parallel import render as prender
+
+    scene, cam, cfg = _tiny_scene()
+
+    def dead(*a, **k):
+        raise RuntimeError("backend gone")
+
+    monkeypatch.setattr(prender, "render_image_sharded", dead)
+    with pytest.raises(RuntimeError, match="backend gone"):
+        render_with_failover(scene, cam, cfg, max_retries=1,
+                             probe=lambda: jax.devices())
