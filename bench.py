@@ -153,7 +153,14 @@ def main():
         return jnp.mean(img[..., :3] ** 2)
 
     if not args.no_check:
-        check_pallas_parity()
+        if jax.default_backend() == "tpu":
+            check_pallas_parity()
+        else:
+            # the gate exists to catch Mosaic miscompiles on hardware; on a
+            # CPU/GPU host backend='pallas' cannot lower, and the test
+            # suite's interpret-mode parity tests cover that path instead
+            print("# pallas-parity-check SKIPPED (no TPU backend)",
+                  file=sys.stderr)
 
     params = (jnp.asarray(0.5), cam.position, sky)
     if args.fwd_only:

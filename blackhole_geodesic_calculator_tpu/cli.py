@@ -195,7 +195,8 @@ def main(argv=None):
 
     p = sub.add_parser("bench", help="run the rays/s benchmark")
     p.add_argument("--size", type=int, default=1024)
-    p.add_argument("--steps", type=int, default=112)
+    # keep in lockstep with bench.py's oracle-validated default schedule
+    p.add_argument("--steps", type=int, default=100)
     p.add_argument("--fwd-only", action="store_true")
     p.set_defaults(fn=_cmd_bench)
 

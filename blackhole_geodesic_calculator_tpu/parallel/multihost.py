@@ -46,10 +46,20 @@ def init_distributed(coordinator_address: str | None = None,
     try:  # already initialized earlier in this process: success no-op
         from jax._src import distributed as _dist
 
-        if getattr(_dist.global_state, "client", None) is not None:
+        state = _dist.global_state
+        if getattr(state, "client", None) is not None:
+            # guard against silently masking a DIFFERENT cluster config
+            want_np = num_processes
+            have_np = getattr(state, "num_processes", None)
+            if (want_np is not None and have_np is not None
+                    and want_np != have_np):
+                raise RuntimeError(
+                    f"jax.distributed already initialized with "
+                    f"num_processes={have_np}; refusing conflicting "
+                    f"request num_processes={want_np}")
             return True
-    except ImportError:  # private module moved; fall through to initialize
-        pass
+    except (ImportError, AttributeError):
+        pass  # private module moved; fall through to initialize
     auto = (coordinator_address is None and num_processes is None
             and process_id is None)
     try:
@@ -125,7 +135,7 @@ def render_shards_with_retry(
 
 
 def render_with_failover(scene, cam, cfg, mesh=None, key=None,
-                         max_retries: int = 2,
+                         max_retries: int = 2, backoff_s: float = 1.0,
                          on_event: Callable[[str], None] | None = None,
                          probe: Callable[[], list] | None = None):
     """``render_image_sharded`` with device-loss failover.
@@ -163,8 +173,13 @@ def render_with_failover(scene, cam, cfg, mesh=None, key=None,
                 f"(attempt {attempt}): {e!r}")
             if attempt > max_retries:
                 raise
+            time.sleep(backoff_s * attempt)  # let a recovering runtime be
             alive = list(probe())
-            if 0 < len(alive) < mesh.devices.size:
+            # Rebuild whenever the live device SET changed, not just the
+            # count -- after a preemption a dead device may be replaced by
+            # a fresh one without changing the count.
+            current = {str(d) for d in mesh.devices.flatten()}
+            if alive and {str(d) for d in alive} != current:
                 log(f"mesh reconfigured: {mesh.devices.size} -> "
                     f"{len(alive)} devices")
                 mesh = make_mesh(alive)

@@ -128,17 +128,25 @@ def render_image_sharded(
     fn = _sharded_render_fn(mesh, cfg, multisample)
     rgb = fn(scene, cam, keys, ys, xs)
 
-    # Framebuffer assembly (the reference's progressive buffer write,
-    # RelativisticRenderEngine.py:162): unpermute and fill the frame.  Jitted
-    # with a REPLICATED output so it works when the mesh spans processes --
-    # XLA inserts the all-gather and every host ends up with the full frame
-    # (the multi-host counterpart of the reference's update_result flush).
+    return _assemble_fn(mesh, cfg)(rgb, put_global(perm, repl))
+
+
+@functools.lru_cache(maxsize=64)
+def _assemble_fn(mesh: Mesh, cfg: RenderConfig):
+    """Framebuffer assembly (the reference's progressive buffer write,
+    RelativisticRenderEngine.py:162): unpermute and fill the frame.  Jitted
+    with a REPLICATED output so it works when the mesh spans processes --
+    XLA inserts the all-gather and every host ends up with the full frame
+    (the multi-host counterpart of the reference's update_result flush).
+    Cached per (mesh, cfg) like _sharded_render_fn, so warm render loops
+    don't re-trace/re-compile the assembly every call."""
     x0, x1, y0, y1 = cfg.crop()
     hc, wc = y1 - y0, x1 - x0
+    repl = NamedSharding(mesh, P())
 
     def assemble(rgb, perm):
         flat = jnp.zeros((hc * wc, 3), rgb.dtype).at[perm].set(rgb)
         full = jnp.ones((cfg.height, cfg.width, 4), rgb.dtype)
         return full.at[y0:y1, x0:x1, :3].set(flat.reshape(hc, wc, 3))
 
-    return jax.jit(assemble, out_shardings=repl)(rgb, put_global(perm, repl))
+    return jax.jit(assemble, out_shardings=repl)

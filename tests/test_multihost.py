@@ -114,7 +114,7 @@ def test_render_with_failover_reconfigures_mesh(monkeypatch):
     monkeypatch.setattr(prender, "render_image_sharded", flaky)
     events = []
     img = np.asarray(render_with_failover(
-        scene, cam, cfg, mesh=make_mesh(jax.devices()),
+        scene, cam, cfg, mesh=make_mesh(jax.devices()), backoff_s=0.0,
         on_event=events.append, probe=lambda: jax.devices()[:4]))
     assert any("reconfigured: 8 -> 4" in e for e in events), events
     np.testing.assert_allclose(img, healthy, atol=2e-6)
@@ -134,4 +134,4 @@ def test_render_with_failover_gives_up(monkeypatch):
     monkeypatch.setattr(prender, "render_image_sharded", dead)
     with pytest.raises(RuntimeError, match="backend gone"):
         render_with_failover(scene, cam, cfg, max_retries=1,
-                             probe=lambda: jax.devices())
+                             backoff_s=0.0, probe=lambda: jax.devices())
