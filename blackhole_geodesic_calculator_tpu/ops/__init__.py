@@ -10,6 +10,11 @@ from .geodesic import (
     ks_rhs,
     hamiltonian,
 )
+from .polarization import (
+    plane_normal,
+    polarization_rotation,
+    transport_polarization,
+)
 from .pallas_kernel import integrate_pallas
 from .integrate import (
     GeodesicEnv,

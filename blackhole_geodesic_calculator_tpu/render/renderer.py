@@ -245,3 +245,29 @@ def render_progressive(scene: Scene, cam: Camera, cfg: RenderConfig,
         full = jnp.ones((cfg.height, cfg.width, 4), rgb.dtype)
         full = full.at[y0:y1, x0:x1, :3].set(acc / (i + 1))
         yield i, full
+
+
+def polarization_map(scene: Scene, cam: Camera, cfg: RenderConfig):
+    """Per-pixel polarization rotation map (radians) -- the reference's
+    unchecked 'Add polarisation' milestone (reference README.md:217-220),
+    exact for Schwarzschild (ops/polarization.py: no gravitational Faraday
+    rotation in a spherically symmetric spacetime, so the observable is the
+    geometric rotation of the in-plane basis).  Captured/error pixels get
+    NaN.  Kerr is refused: frame dragging invalidates the closed form.
+    """
+    if scene.bh.spin is not None:
+        raise NotImplementedError(
+            "polarization transport is exact for Schwarzschild only; Kerr "
+            "needs the Walker-Penrose constant (not implemented)")
+    from ..ops.polarization import polarization_rotation
+
+    x0c, x1c, y0c, y1c = cfg.crop()
+    ys, xs = pixel_grid(cfg.width, cfg.height, x0c, x1c, y0c, y1c)
+    origin, d = generate_rays(cam, cfg.width, cfg.height, ys, xs, None)
+    env = scene_env(scene, cfg, cam)
+    o_rel = origin - scene.bh.loc
+    s = launch(env, o_rel, d, cfg.integrator)
+    d1 = final_direction(env, s)
+    ang = polarization_rotation(o_rel, d, d1)
+    escaped = (s.status == states.ESCAPED) | (s.status == states.BUDGET)
+    return jnp.where(escaped, ang, jnp.nan)

@@ -1,15 +1,28 @@
 """Profiler integration -- the reference's print-timers, upgraded to XProf.
 
 The reference's only tracing is stdout wall-clock prints (SURVEY.md §5).
-Here: ``trace(dir)`` captures a full device trace viewable in
-TensorBoard/XProf (kernel timelines, HBM traffic, fusion boundaries), and
-``annotate(name)`` scopes named regions so render phases (camera /
-integrate / shade) show up as labeled spans.
+Here:
+
+* ``trace(dir)`` captures a full device trace viewable in TensorBoard/XProf
+  (kernel timelines, HBM traffic, fusion boundaries);
+* ``annotate(name)`` scopes named regions so render phases (camera /
+  integrate / shade) show up as labeled spans;
+* ``profile_steps(fn, *args)`` + ``op_table(...)`` close the loop WITHOUT
+  TensorBoard: run a jitted step under the tracer, parse the trace
+  artifact, and return per-op device times -- the exact workflow that drove
+  this framework's optimization rounds (backward-kernel share, texture
+  scatter cost, host/device gap), available as one call.
 """
 
 from __future__ import annotations
 
+import collections
 import contextlib
+import glob
+import gzip
+import json
+import os
+import tempfile
 
 import jax
 
@@ -38,3 +51,77 @@ def device_memory_stats():
         except Exception:
             out[str(d)] = None
     return out
+
+
+def _load_trace_events(logdir: str):
+    """All trace events from the newest .trace.json.gz under ``logdir``."""
+    paths = sorted(glob.glob(
+        os.path.join(logdir, "plugins", "profile", "*", "*.trace.json.gz")))
+    if not paths:
+        raise FileNotFoundError(f"no trace artifact under {logdir}")
+    with gzip.open(paths[-1]) as f:
+        return json.load(f)["traceEvents"]
+
+
+def op_table(logdir: str, top: int = 20, repeats: int = 1):
+    """Per-op device-time table from a captured trace.
+
+    Returns ``[(name, total_ms, count), ...]`` sorted by time, summed over
+    the device-side complete events and divided by ``repeats`` (the number
+    of identical steps traced).  Device process/threads are identified from
+    the trace metadata, so this works on TPU and on the CPU backend alike.
+    """
+    events = _load_trace_events(logdir)
+    proc_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            proc_names[e["pid"]] = e["args"].get("name", "")
+    device_pids = {pid for pid, name in proc_names.items()
+                   if "TPU" in name or "GPU" in name
+                   or "device" in name.lower()}
+    if not device_pids:
+        # CPU backend: ops land on the host process, interleaved with
+        # python-source spans -- keep XLA op events only
+        device_pids = set(proc_names)
+    dur = collections.Counter()
+    cnt = collections.Counter()
+    for e in events:
+        name = e.get("name", "")
+        if (e.get("ph") == "X" and e.get("pid") in device_pids
+                and not name.startswith("$") and ".py:" not in name):
+            dur[name] += e.get("dur", 0)
+            cnt[name] += 1
+    rows = [(name, us / 1000.0 / repeats, cnt[name])
+            for name, us in dur.most_common(top)]
+    return rows
+
+
+def profile_steps(fn, *args, repeats: int = 3, top: int = 20,
+                  logdir: str | None = None):
+    """Run ``fn(*args)`` ``repeats`` times under the tracer and return the
+    per-op device-time table (ms per step).  ``fn`` should be jitted and
+    warm (call it once first so compilation stays out of the trace)."""
+    own = logdir is None
+    logdir = logdir or tempfile.mkdtemp(prefix="bgc_profile_")
+    out = fn(*args)
+    jax.block_until_ready(out)        # warmup / compile outside the trace
+    with trace(logdir):
+        for _ in range(repeats):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        # force a sync through value fetch: block_until_ready alone does
+        # not drain some tunneled backends
+        jax.tree.map(lambda a: a.block_until_ready(), out)
+    rows = op_table(logdir, top=top, repeats=repeats)
+    if own:
+        import shutil
+
+        shutil.rmtree(logdir, ignore_errors=True)
+    return rows
+
+
+def format_op_table(rows) -> str:
+    lines = [f"{'device ms/step':>14}  {'calls':>6}  op"]
+    for name, ms, c in rows:
+        lines.append(f"{ms:14.3f}  {c:6d}  {name[:80]}")
+    return "\n".join(lines)

@@ -168,3 +168,23 @@ def test_config_json_renders_via_dopri(tmp_path):
     # two accurate integrators agree except near the critical curve
     diff = np.abs(img_dp - img_rk)
     assert np.quantile(diff, 0.98) < 0.02, np.quantile(diff, 0.98)
+
+
+def test_profile_steps_op_table():
+    """profile_steps runs a jitted fn under the tracer and returns per-op
+    device times -- the profile-first workflow as one call (works on the
+    CPU backend too)."""
+    import jax
+
+    from blackhole_geodesic_calculator_tpu.utils.profiling import (
+        format_op_table, profile_steps,
+    )
+
+    f = jax.jit(lambda x: (x @ x).sum())
+    x = jnp.ones((256, 256))
+    rows = profile_steps(f, x, repeats=2, top=5)
+    assert rows, "no device events captured"
+    total = sum(ms for _, ms, _ in rows)
+    assert total > 0
+    txt = format_op_table(rows)
+    assert "device ms/step" in txt and len(txt.splitlines()) >= 2

@@ -225,3 +225,111 @@ class TestDiskRedshift:
         dmass = jax.grad(
             lambda m: jnp.mean(lum(m, 4.0)[..., :3]))(jnp.float32(0.5))
         assert np.isfinite(float(dmass))
+
+
+class TestPolarization:
+    """Schwarzschild polarization transport (reference open milestone)."""
+
+    def test_flat_limit_no_rotation(self):
+        from blackhole_geodesic_calculator_tpu.ops.polarization import (
+            polarization_rotation, transport_polarization,
+        )
+
+        x0 = jnp.asarray([[3.0, 1.0, 20.0]])
+        d0 = jnp.asarray([[0.0, 0.0, -1.0]])
+        f0 = jnp.asarray([[1.0, 0.0, 0.0]])
+        f1 = transport_polarization(x0, d0, f0, d0)  # undeflected
+        np.testing.assert_allclose(np.asarray(f1), np.asarray(f0), atol=1e-6)
+        assert abs(float(polarization_rotation(x0, d0, d0)[0])) < 1e-6
+
+    def test_transport_invariants(self):
+        """Unit norm, orthogonality to the final ray, out-of-plane
+        component preserved -- checked on an actually-integrated
+        strong-deflection geodesic."""
+        from blackhole_geodesic_calculator_tpu.ops import (
+            GeodesicEnv, IntegratorConfig, launch,
+        )
+        from blackhole_geodesic_calculator_tpu.ops.integrate import (
+            final_direction,
+        )
+        from blackhole_geodesic_calculator_tpu.ops.polarization import (
+            plane_normal, transport_polarization,
+        )
+
+        x0 = jnp.asarray([[2.8, 0.0, 25.0]])     # photon-sphere grazer
+        d0 = jnp.asarray([[0.0, 0.0, -1.0]])
+        env = GeodesicEnv(mass=jnp.float32(0.5), r_capture=jnp.float32(1.0),
+                          r_escape=jnp.float32(70.0),
+                          lam_max=jnp.float32(200.0))
+        cfg = IntegratorConfig(n_steps=400, dt=0.1, dt_boost=16.0,
+                               dt_boost_r_ref=1.6, dt_power=1.5,
+                               backend="scan")
+        s = launch(env, x0, d0, cfg)
+        d1 = final_direction(env, s)
+        # mixed in/out-of-plane polarization
+        f0 = jnp.asarray([[0.6, 0.8, 0.0]])
+        f0 = f0 - jnp.sum(f0 * d0, -1, keepdims=True) * d0
+        f0 = f0 / jnp.linalg.norm(f0, axis=-1, keepdims=True)
+        f1 = transport_polarization(x0, d0, f0, d1)
+        assert abs(float(jnp.linalg.norm(f1, axis=-1)[0]) - 1.0) < 1e-5
+        assert abs(float(jnp.sum(f1 * d1, -1)[0])) < 1e-5
+        n = plane_normal(x0, d0)
+        a0 = float(jnp.sum(f0 * n, -1)[0])
+        a1 = float(jnp.sum(f1 * n, -1)[0])
+        assert abs(a0 - a1) < 1e-5     # no gravitational Faraday rotation
+
+    def test_rotation_matches_weak_field_deflection(self):
+        """In-plane basis rotation equals the deflection ~ 4M/b for a
+        weak-field ray (signed toward the hole)."""
+        from blackhole_geodesic_calculator_tpu.ops import (
+            GeodesicEnv, IntegratorConfig, launch,
+        )
+        from blackhole_geodesic_calculator_tpu.ops.integrate import (
+            final_direction,
+        )
+        from blackhole_geodesic_calculator_tpu.ops.polarization import (
+            polarization_rotation,
+        )
+
+        b = 10.0
+        x0 = jnp.asarray([[b, 0.0, 60.0]])
+        d0 = jnp.asarray([[0.0, 0.0, -1.0]])
+        env = GeodesicEnv(mass=jnp.float32(0.5), r_capture=jnp.float32(1.0),
+                          r_escape=jnp.float32(150.0),
+                          lam_max=jnp.float32(400.0))
+        cfg = IntegratorConfig(n_steps=900, dt=0.1, dt_boost=16.0,
+                               dt_boost_r_ref=1.6, dt_power=1.5,
+                               backend="scan")
+        s = launch(env, x0, d0, cfg)
+        d1 = final_direction(env, s)
+        ang = float(polarization_rotation(x0, d0, d1)[0])
+        # 2nd-order PPN deflection: 4M/b + 15 pi M^2 / (4 b^2)
+        M = 0.5
+        expected = 4.0 * M / b + 15.0 * np.pi * M * M / (4.0 * b * b)
+        assert abs(abs(ang) - expected) < 0.05 * expected, (ang, expected)
+
+    def test_polarization_map_renders(self):
+        from blackhole_geodesic_calculator_tpu.camera import Camera
+        from blackhole_geodesic_calculator_tpu.ops import IntegratorConfig
+        from blackhole_geodesic_calculator_tpu.render.renderer import (
+            RenderConfig, polarization_map,
+        )
+        from blackhole_geodesic_calculator_tpu.scene import BlackHole, Scene
+
+        scene = Scene(bh=BlackHole.make(mass=0.5))
+        cam = Camera.make(position=(0.0, 0.0, 20.0), fov=(0.7, 0.7))
+        cfg = RenderConfig(width=24, height=24,
+                           integrator=IntegratorConfig(n_steps=200, dt=0.1,
+                                                       backend="scan"),
+                           lam_max=80.0)
+        m = np.asarray(polarization_map(scene, cam, cfg))
+        assert m.shape == (24, 24)
+        assert np.isnan(m[12, 12])          # shadow center: captured
+        edge = m[0, :]
+        assert np.isfinite(edge).all() and (np.abs(edge) > 1e-3).any()
+
+        import pytest
+
+        kerr = Scene(bh=BlackHole.make(mass=0.5, spin=0.3))
+        with pytest.raises(NotImplementedError):
+            polarization_map(kerr, cam, cfg)
