@@ -250,24 +250,53 @@ def render_progressive(scene: Scene, cam: Camera, cfg: RenderConfig,
 def polarization_map(scene: Scene, cam: Camera, cfg: RenderConfig):
     """Per-pixel polarization rotation map (radians) -- the reference's
     unchecked 'Add polarisation' milestone (reference README.md:217-220),
-    exact for Schwarzschild (ops/polarization.py: no gravitational Faraday
-    rotation in a spherically symmetric spacetime, so the observable is the
-    geometric rotation of the in-plane basis).  Captured/error pixels get
-    NaN.  Kerr is refused: frame dragging invalidates the closed form.
+    exact closed form for Schwarzschild (ops/polarization.py: no
+    gravitational Faraday rotation in a spherically symmetric spacetime,
+    so the observable is the geometric rotation of the in-plane basis);
+    for Kerr the parallel-transport ODE is integrated per pixel and the
+    map measures the TOTAL rotation including frame dragging.  Captured/
+    error pixels get NaN.
     """
-    if scene.bh.spin is not None:
-        raise NotImplementedError(
-            "polarization transport is exact for Schwarzschild only; Kerr "
-            "needs the Walker-Penrose constant (not implemented)")
-    from ..ops.polarization import polarization_rotation
+    from ..ops.polarization import (
+        _unit, plane_normal, polarization_rotation,
+        transport_polarization_ode,
+    )
 
     x0c, x1c, y0c, y1c = cfg.crop()
     ys, xs = pixel_grid(cfg.width, cfg.height, x0c, x1c, y0c, y1c)
     origin, d = generate_rays(cam, cfg.width, cfg.height, ys, xs, None)
     env = scene_env(scene, cfg, cam)
     o_rel = origin - scene.bh.loc
-    s = launch(env, o_rel, d, cfg.integrator)
-    d1 = final_direction(env, s)
-    ang = polarization_rotation(o_rel, d, d1)
-    escaped = (s.status == states.ESCAPED) | (s.status == states.BUDGET)
-    return jnp.where(escaped, ang, jnp.nan)
+
+    if scene.bh.spin is None:
+        s = launch(env, o_rel, d, cfg.integrator)
+        d1 = final_direction(env, s)
+        ang = polarization_rotation(o_rel, d, d1)
+        escaped = (s.status == states.ESCAPED) | (s.status == states.BUDGET)
+        return jnp.where(escaped, ang, jnp.nan)
+
+    # Kerr: parallel-transport ODE (frame dragging adds gravitational
+    # Faraday rotation the closed form cannot capture).  ~40x the flops of
+    # the Hamiltonian render path -- a science instrument, use modest
+    # resolutions.  Observable: rotation of the transported in-plane basis
+    # vector relative to the escape-frame in-plane basis.
+    from ..models import kerr_ks_metric
+
+    metric = kerr_ks_metric(scene.bh.mass, scene.bh.spin)
+    shape = ys.shape
+    x3 = o_rel.reshape(-1, 3)
+    d3 = d.reshape(-1, 3)
+    n = plane_normal(x3, d3)
+    f0 = _unit(jnp.cross(d3, n))            # in-plane basis at launch
+    it = cfg.integrator
+    f_obs, d1, x1, diag = transport_polarization_ode(
+        metric, x3, d3, f0,
+        n_steps=it.n_steps, dt=it.dt,
+        r_stop=float(cfg.r_escape) if cfg.r_escape > 0 else 70.0,
+        dt_boost=max(it.dt_boost, 1.0),
+        r_ref=it.dt_boost_r_ref or 1.6)
+    e_in1 = _unit(jnp.cross(d1, n))
+    ang = jnp.arctan2(jnp.sum(f_obs * n, -1), jnp.sum(f_obs * e_in1, -1))
+    escaped = (jnp.linalg.norm(x1, axis=-1)
+               >= 0.99 * (float(cfg.r_escape) if cfg.r_escape > 0 else 70.0))
+    return jnp.where(escaped, ang, jnp.nan).reshape(shape)

@@ -328,8 +328,15 @@ class TestPolarization:
         edge = m[0, :]
         assert np.isfinite(edge).all() and (np.abs(edge) > 1e-3).any()
 
-        import pytest
-
+        # Kerr goes through the transport-ODE path: finite angles where
+        # rays escape, and near the equatorial pole axis the Faraday
+        # contribution is small so values stay bounded
         kerr = Scene(bh=BlackHole.make(mass=0.5, spin=0.3))
-        with pytest.raises(NotImplementedError):
-            polarization_map(kerr, cam, cfg)
+        cfg_k = RenderConfig(width=8, height=8,
+                             integrator=IntegratorConfig(
+                                 n_steps=300, dt=0.1, dt_boost=16.0,
+                                 dt_boost_r_ref=1.6, backend="scan"),
+                             lam_max=80.0, r_escape=70.0)
+        mk = np.asarray(polarization_map(kerr, cam, cfg_k))
+        assert mk.shape == (8, 8)
+        assert np.isfinite(mk[0, 0]) and abs(mk[0, 0]) < np.pi
