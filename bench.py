@@ -1,121 +1,84 @@
-"""Headline benchmark: geodesic rays/s, forward+backward, 1024x1024.
+"""Benchmark suite: every README performance claim as a driver-visible artifact.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Default run prints ONE JSON line per suite row, ending with the headline
+flagship metric {"metric": "geodesic_rays_per_s_fwd_bwd_1024x1024", ...},
+and writes the full suite to BENCH_SUITE.json.  ``--only flagship`` runs
+just the headline row (the round-1/2 behavior).
 
-The measured program is the BASELINE.json flagship config: a 1024x1024
-Schwarzschild render (HDRI sky background) differentiated w.r.t. black-hole
-mass, camera position and the sky texture -- i.e. one full
-value_and_grad(render) step, which is the unit of work of both inverse
-rendering and animation fitting.  rays/s = H*W / wall_seconds per step.
-``vs_baseline`` is the ratio to the driver-set north-star of 10M rays/s
-fwd+bwd per chip (BASELINE.md); the reference itself publishes no numbers
-(its structural bound is one scipy solve_ivp per pixel in a serial Python
-loop, O(1-100 ms)/ray -- SURVEY.md §6).
+Suite rows (all on the attached TPU chip):
 
-Usage: python bench.py [--size N] [--steps K] [--repeat R] [--fwd-only]
+* flagship          -- 1024x1024 Schwarzschild render (HDRI sky), one
+                       value_and_grad step w.r.t. mass + camera + texture
+                       (BASELINE.json flagship config); plus forward-only.
+* events            -- BASELINE config 3: 1024x1024 accretion disk + 4 moon
+                       spheres, same fwd and fwd+bwd differentiation.  This
+                       exercises the in-kernel event machinery
+                       (disk/sphere branches + whole-step vjp backward).
+* integrator        -- the geodesic integrator alone on the 1024^2 camera
+                       fan (no shading), fwd and fwd+bwd.
+* kerr              -- Kerr a/M = 0.9 (spin a = 0.45, the reference's
+                       RelativisticCamera capability at
+                       /root/reference/raytracer/RelativisticRenderEngineCamEdition.py:210),
+                       1M camera rays to termination, fwd and fwd+bwd.
+* render4096        -- 4096x4096 forward render (sky), rays/s.
+* animation         -- BASELINE config 4 throughput: 1024x1024 at 5 samples/
+                       pixel orbit frames through the async native
+                       FrameWriter pipeline; frames/s (and effective rays/s).
+* adaptive          -- BASELINE config 2: 512x512 Einstein-ring scene,
+                       adaptive Dormand-Prince (XLA while_loop, scipy-RK45
+                       parity path) vs the tuned fixed-schedule RK4 Pallas
+                       path: rays/s of each plus the max escape-direction
+                       disagreement (the accuracy cost of the substitute;
+                       the absolute accuracy of both is oracle-gated in
+                       tests/test_native.py::test_bench_schedule_accuracy).
+
+``vs_baseline`` is the ratio to the driver-set north star of 10M geodesic
+rays/s fwd+bwd per chip (BASELINE.md); frame-rate rows convert through
+rays/frame.  The reference itself publishes no numbers (its structural
+bound is one scipy solve_ivp per pixel in a serial Python loop,
+O(1-100 ms)/ray -- SURVEY.md §6).
+
+Every run starts with an on-hardware parity gate (``--no-check`` skips):
+the Mosaic-compiled Pallas integrator must agree with the XLA scan path on
+statuses, final states and the mass gradient for THREE configs --
+Schwarzschild event-free, Schwarzschild + disk + spheres (the event
+branches), and Kerr a=0.45 -- so a miscompile in any render path fails the
+bench loudly instead of shipping inside a good-looking number.
+
+Usage: python bench.py [--only ROW] [--size N] [--steps K] [--repeat R]
+                       [--fwd-only] [--no-check] [--no-artifact]
 """
 
 import argparse
+import dataclasses
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-
-def check_pallas_parity():
-    """On-hardware correctness gate: the Mosaic-COMPILED Pallas integrator
-    must agree with the XLA scan path on final states, statuses and the
-    mass gradient.  (The test suite checks parity in interpret mode on CPU;
-    a Mosaic miscompile or on-chip f32 drift would otherwise ship silently
-    inside a great rays/s number.)  The ray fan spans impact parameters
-    b in [1.5, 12] but skirts the critical band around b_c = 3 sqrt(3) M
-    ~ 2.6, where float-noise amplification is exponential and ANY two
-    correct implementations diverge.  Fails loudly (SystemExit)."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from blackhole_geodesic_calculator_tpu.ops import (
-        IntegratorConfig, states,
-    )
-    from blackhole_geodesic_calculator_tpu.ops.integrate import (
-        GeodesicEnv, launch,
-    )
-
-    n = 4096
-    b = np.concatenate([np.linspace(1.5, 2.45, n // 2),
-                        np.linspace(2.75, 12.0, n - n // 2)])
-    ang = np.linspace(0.0, 2 * np.pi, n, endpoint=False)
-    x0 = jnp.asarray(np.stack(
-        [b * np.cos(ang), b * np.sin(ang), np.full(n, 25.0)], -1),
-        jnp.float32)
-    d0 = jnp.asarray(np.tile([0.0, 0.0, -1.0], (n, 1)), jnp.float32)
-
-    def run(backend, mass):
-        cfg = IntegratorConfig(n_steps=100, dt=0.12, dt_boost=64.0,
-                               dt_boost_r_ref=1.7, dt_power=1.5,
-                               backend=backend)
-        env = GeodesicEnv(mass=mass, r_capture=jnp.float32(1.0),
-                          r_escape=jnp.float32(70.0),
-                          lam_max=jnp.float32(100.0))
-        return launch(env, x0, d0, cfg)
-
-    def loss(backend, mass):
-        s = run(backend, mass)
-        return jnp.sum(s.x ** 2) * 1e-6
-
-    sp = jax.jit(lambda m: run("pallas", m))(jnp.float32(0.5))
-    ss = jax.jit(lambda m: run("scan", m))(jnp.float32(0.5))
-    st_p, st_s = np.asarray(sp.status), np.asarray(ss.status)
-    agree = st_p == st_s
-    frac = agree.mean()
-    xerr = float(np.abs(np.asarray(sp.x) - np.asarray(ss.x))[agree].max())
-    gp = float(jax.jit(jax.grad(lambda m: loss("pallas", m)))(
-        jnp.float32(0.5)))
-    gs = float(jax.jit(jax.grad(lambda m: loss("scan", m)))(
-        jnp.float32(0.5)))
-    gerr = abs(gp - gs) / max(abs(gs), 1e-6)
-    ok = frac >= 0.998 and xerr < 0.05 and gerr < 0.01
-    print(f"# pallas-parity-check statuses={frac:.4f} "
-          f"max|dx|={xerr:.3e} dmass_rel={gerr:.3e} "
-          f"{'OK' if ok else 'FAIL'}", file=sys.stderr)
-    if not ok:
-        raise SystemExit("pallas parity check FAILED")
+NORTH_STAR = 1e7  # rays/s fwd+bwd per chip (BASELINE.md)
+_SUITE_ROWS = []
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--size", type=int, default=1024)
-    ap.add_argument("--steps", type=int, default=100,
-                    help="RK4 integration steps per ray (the default "
-                    "schedule is oracle-validated to sub-pixel deflection "
-                    "accuracy at 1024px; see tests/test_native.py::"
-                    "test_bench_schedule_accuracy)")
-    ap.add_argument("--repeat", type=int, default=5)
-    ap.add_argument("--fwd-only", action="store_true")
-    ap.add_argument("--no-check", action="store_true",
-                    help="skip the on-hardware Pallas-vs-XLA parity gate")
-    args = ap.parse_args()
+def emit(metric, value, unit, vs_baseline, note=""):
+    row = {"metric": metric, "value": round(value, 1) if value >= 10
+           else round(value, 6), "unit": unit,
+           "vs_baseline": round(vs_baseline, 4)}
+    _SUITE_ROWS.append(dict(row, note=note) if note else row)
+    print(json.dumps(row))
+    sys.stdout.flush()
 
-    import jax
 
-    # Persistent compilation cache: kernel compiles on this stack go through
-    # a slow remote service; caching makes warm runs start in seconds.
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# =============================================================================
+# Shared scene/camera construction.
+# =============================================================================
+def make_sky(h=256, w=512):
     import jax.numpy as jnp
 
-    from blackhole_geodesic_calculator_tpu.camera import Camera
-    from blackhole_geodesic_calculator_tpu.ops import IntegratorConfig
-    from blackhole_geodesic_calculator_tpu.render import (
-        RenderConfig, render_image,
-    )
-    from blackhole_geodesic_calculator_tpu.scene import BlackHole, Scene
-
-    n = args.size
-    h, w = 256, 512
     v, u = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
-    sky = jnp.asarray(
+    return jnp.asarray(
         np.stack(
             [
                 0.5 + 0.5 * np.sin(2 * np.pi * u / w) * np.sin(np.pi * v / h),
@@ -126,31 +89,389 @@ def main():
         ),
         jnp.float32,
     )
+
+
+def make_scene(kind, sky):
+    """'sky' = flagship (background only); 'events' = BASELINE config 3
+    content: z=0 accretion disk + 4 moon spheres (the reference's disk at
+    LimitedRelativisticRenderEngine.py:413-438 and moon meshes shaded by
+    normal_hit :338-380)."""
+    import jax.numpy as jnp
+
+    from blackhole_geodesic_calculator_tpu.scene import (
+        BlackHole, Disk, Scene, Spheres,
+    )
+
+    bh = BlackHole.make(mass=0.5)
+    if kind == "sky":
+        return Scene(bh=bh, background=sky)
+    h, w = 64, 256
+    v, u = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    disk_tex = jnp.asarray(
+        np.stack([0.9 + 0 * u, 0.5 + 0.3 * np.sin(8 * np.pi * u / w),
+                  0.2 + 0 * u], -1), jnp.float32)
+    moon_tex = jnp.broadcast_to(
+        jnp.asarray([0.3, 0.9, 0.4], jnp.float32), (4, 16, 32, 3))
+    ang = np.array([0.3, 1.9, 3.6, 5.2])
+    centers = np.stack(
+        [7 * np.cos(ang), 7 * np.sin(ang), 0.8 * np.sin(2 * ang)], -1)
+    return Scene(
+        bh=bh, background=sky,
+        disk=Disk.make(r_in=2.0, r_out=6.0, texture=disk_tex),
+        spheres=Spheres.make(center=centers, radius=[0.6, 0.5, 0.7, 0.4],
+                             texture=moon_tex),
+    )
+
+
+def make_render_cfg(size, steps, samples=1):
+    from blackhole_geodesic_calculator_tpu.ops import IntegratorConfig
+    from blackhole_geodesic_calculator_tpu.render import RenderConfig
+
     # Super-linear (r^1.5) step schedule, validated against the native f64
     # Dormand-Prince oracle: worst escape-direction error 6.6e-4 rad over an
     # impact-parameter fan (b in [2, 15]) including photon-sphere grazers --
     # under the 7.8e-4 rad/pixel angular resolution of this 1024px/0.8rad
-    # camera (tests/test_native.py::test_bench_schedule_accuracy).  The
-    # r^1.5 growth matches the same near-field resolution as the previous
-    # linear schedule (dt ~ 0.1 at the photon sphere) while cutting total
-    # active ray-steps 2.24x on the flagship camera fan.
-    cfg = RenderConfig(
-        width=n, height=n, samples=1,
-        integrator=IntegratorConfig(n_steps=args.steps, dt=0.12,
-                                    dt_boost=64.0, dt_boost_r_ref=1.7,
-                                    dt_power=1.5),
+    # camera (tests/test_native.py::test_bench_schedule_accuracy).
+    return RenderConfig(
+        width=size, height=size, samples=samples,
+        integrator=IntegratorConfig(n_steps=steps, dt=0.12, dt_boost=64.0,
+                                    dt_boost_r_ref=1.7, dt_power=1.5),
         lam_max=100.0,
     )
-    cam = Camera.make(position=(0.0, 0.0, 25.0), fov=(0.8, 0.8))
+
+
+def camera_fan(n):
+    """n camera-style rays spanning impact parameters b in [1.5, 12]."""
+    import jax.numpy as jnp
+
+    b = np.concatenate([np.linspace(1.5, 2.45, n // 2),
+                        np.linspace(2.75, 12.0, n - n // 2)])
+    ang = np.linspace(0.0, 2 * np.pi, n, endpoint=False)
+    x0 = jnp.asarray(np.stack(
+        [b * np.cos(ang), b * np.sin(ang), np.full(n, 25.0)], -1),
+        jnp.float32)
+    d0 = jnp.asarray(np.tile([0.0, 0.0, -1.0], (n, 1)), jnp.float32)
+    return x0, d0
+
+
+def time_step(step, params, repeat, depth=20):
+    """(pipelined s/step, per-call times): compile+warm, per-call latency,
+    then steady-state pipelined dispatch (successive steps enqueued while
+    the device works -- how a real training/animation loop runs; depth 20
+    hides this tunneled stack's host launch latency)."""
+    import jax
+
+    out = step(*params)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(repeat):
+        t0 = time.perf_counter()
+        out = step(*params)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    n_pipe = max(repeat, depth)
+    t0 = time.perf_counter()
+    for _ in range(n_pipe):
+        out = step(*params)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n_pipe, times
+
+
+# =============================================================================
+# On-hardware parity gate.
+# =============================================================================
+def check_pallas_parity():
+    """On-hardware correctness gate: the Mosaic-COMPILED Pallas integrator
+    must agree with the XLA scan path on final states, statuses and the
+    mass gradient for Schwarzschild event-free, Schwarzschild with the full
+    event machinery (disk + spheres), and Kerr a=0.45.  (The test suite
+    checks parity in interpret mode on CPU; a Mosaic miscompile or on-chip
+    f32 drift in any of the three code paths would otherwise ship silently
+    inside a great rays/s number.)  The ray fan spans impact parameters
+    b in [1.5, 12] but skirts the critical band around b_c = 3 sqrt(3) M
+    ~ 2.6, where float-noise amplification is exponential and ANY two
+    correct implementations diverge.  Fails loudly (SystemExit)."""
+    import jax
+    import jax.numpy as jnp
+
+    from blackhole_geodesic_calculator_tpu.ops import (
+        IntegratorConfig,
+    )
+    from blackhole_geodesic_calculator_tpu.ops.integrate import (
+        DiskGeom, GeodesicEnv, SphereGeom, launch,
+    )
+
+    x0, d0 = camera_fan(4096)
+
+    def make_env(mass, events, spin):
+        disk = DiskGeom(r_in=jnp.float32(2.0),
+                        r_out=jnp.float32(6.0)) if events else None
+        spheres = SphereGeom(
+            center=jnp.asarray([[7.0, 0.0, 0.0], [-5.0, -5.0, 1.0]],
+                               jnp.float32),
+            radius=jnp.asarray([1.0, 0.8], jnp.float32)) if events else None
+        return GeodesicEnv(
+            mass=mass, r_capture=jnp.float32(1.0),
+            r_escape=jnp.float32(70.0), lam_max=jnp.float32(100.0),
+            spin=None if spin is None else jnp.float32(spin),
+            disk=disk, spheres=spheres)
+
+    def run(backend, mass, events, spin):
+        cfg = IntegratorConfig(n_steps=100, dt=0.12, dt_boost=64.0,
+                               dt_boost_r_ref=1.7, dt_power=1.5,
+                               backend=backend)
+        return launch(make_env(mass, events, spin), x0, d0, cfg)
+
+    def loss(backend, mass, events, spin):
+        s = run(backend, mass, events, spin)
+        return jnp.sum(s.x ** 2) * 1e-6
+
+    all_ok = True
+    for name, events, spin in (("schw", False, None),
+                               ("events", True, None),
+                               ("kerr", False, 0.45)):
+        sp = jax.jit(lambda m: run("pallas", m, events, spin))(
+            jnp.float32(0.5))
+        ss = jax.jit(lambda m: run("scan", m, events, spin))(
+            jnp.float32(0.5))
+        st_p, st_s = np.asarray(sp.status), np.asarray(ss.status)
+        agree = st_p == st_s
+        frac = agree.mean()
+        xerr = float(np.abs(np.asarray(sp.x) - np.asarray(ss.x))[agree].max())
+        gp = float(jax.jit(jax.grad(
+            lambda m: loss("pallas", m, events, spin)))(jnp.float32(0.5)))
+        gs = float(jax.jit(jax.grad(
+            lambda m: loss("scan", m, events, spin)))(jnp.float32(0.5)))
+        gerr = abs(gp - gs) / max(abs(gs), 1e-6)
+        ok = frac >= 0.998 and xerr < 0.05 and gerr < 0.01
+        all_ok = all_ok and ok
+        print(f"# pallas-parity-check [{name}] statuses={frac:.4f} "
+              f"max|dx|={xerr:.3e} dmass_rel={gerr:.3e} "
+              f"{'OK' if ok else 'FAIL'}", file=sys.stderr)
+    if not all_ok:
+        raise SystemExit("pallas parity check FAILED")
+
+
+# =============================================================================
+# Suite rows.
+# =============================================================================
+def bench_render(scene_kind, size, steps, repeat, fwd_only, *,
+                 metric_tag=None, euler=(0.0, 0.0, 0.0)):
+    import jax
+    import jax.numpy as jnp
+
+    from blackhole_geodesic_calculator_tpu.camera import Camera
+    from blackhole_geodesic_calculator_tpu.render import render_image
+
+    sky = make_sky()
+    scene0 = make_scene(scene_kind, sky)
+    cfg = make_render_cfg(size, steps)
+    cam = Camera.make(position=(0.0, 0.0, 25.0), euler=euler,
+                      fov=(0.8, 0.8))
 
     def forward(mass, cam_pos, tex):
-        import dataclasses
-        scene = Scene(bh=BlackHole.make(mass=0.0), background=tex)
         scene = dataclasses.replace(
-            scene, bh=dataclasses.replace(scene.bh, mass=mass))
+            scene0, bh=dataclasses.replace(scene0.bh, mass=mass),
+            background=tex)
         c = dataclasses.replace(cam, position=cam_pos)
         img = render_image(scene, c, cfg)
         return jnp.mean(img[..., :3] ** 2)
+
+    params = (jnp.asarray(0.5), cam.position, sky)
+    step = jax.jit(forward) if fwd_only else jax.jit(
+        jax.grad(forward, argnums=(0, 1, 2)))
+    pipelined, times = time_step(step, params, repeat)
+    rays = size * size / pipelined
+    tag = metric_tag or ("" if scene_kind == "sky" else "_" + scene_kind)
+    mode = "_fwd" if fwd_only else "_fwd_bwd"
+    emit(f"geodesic_rays_per_s{mode}{tag}_{size}x{size}", rays, "rays/s",
+         rays / NORTH_STAR)
+    print(f"# {scene_kind}{mode} pipelined={pipelined*1e3:.1f} ms/step "
+          f"per_call_ms={[round(t*1e3,1) for t in times]} steps={steps}",
+          file=sys.stderr)
+    return rays
+
+
+def bench_integrator(steps, repeat, spin=None, n=1024 * 1024):
+    """The geodesic integrator alone (launch -> final states, no shading)."""
+    import jax
+    import jax.numpy as jnp
+
+    from blackhole_geodesic_calculator_tpu.ops import IntegratorConfig
+    from blackhole_geodesic_calculator_tpu.ops.integrate import (
+        GeodesicEnv, launch,
+    )
+
+    x0, d0 = camera_fan(n)
+    cfg = IntegratorConfig(n_steps=steps, dt=0.12, dt_boost=64.0,
+                           dt_boost_r_ref=1.7, dt_power=1.5)
+
+    def fwd(mass):
+        env = GeodesicEnv(
+            mass=mass, r_capture=jnp.float32(1.0),
+            r_escape=jnp.float32(70.0), lam_max=jnp.float32(100.0),
+            spin=None if spin is None else jnp.float32(spin))
+        s = launch(env, x0, d0, cfg)
+        return jnp.sum(s.x ** 2) * 1e-6
+
+    tag = "integrator" if spin is None else f"kerr_a{spin:g}"
+    for mode, step in (("_fwd", jax.jit(fwd)),
+                       ("_fwd_bwd", jax.jit(jax.grad(fwd)))):
+        pipelined, times = time_step(step, (jnp.asarray(0.5),), repeat)
+        rays = n / pipelined
+        emit(f"geodesic_rays_per_s{mode}_{tag}_{n}", rays, "rays/s",
+             rays / NORTH_STAR)
+        print(f"# {tag}{mode} pipelined={pipelined*1e3:.1f} ms "
+              f"per_call_ms={[round(t*1e3,1) for t in times]}",
+              file=sys.stderr)
+
+
+def bench_animation(steps, frames=10, size=1024, samples=5):
+    """BASELINE config 4 throughput: multisampled orbit frames through the
+    async FrameWriter pipeline (tonemap/encode/IO overlapped with device
+    compute) -- the reference's flagship 1024^2 x 100-frame x 5spp artifact
+    (/root/reference/README.md:8-9) as a frames/s number."""
+    import shutil
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from blackhole_geodesic_calculator_tpu import native
+    from blackhole_geodesic_calculator_tpu.camera import Camera
+    from blackhole_geodesic_calculator_tpu.io_ import write_png
+    from blackhole_geodesic_calculator_tpu.render import render_image
+
+    sky = make_sky()
+    scene = make_scene("events", sky)
+    cfg = make_render_cfg(size, steps, samples=samples)
+    r = 25.0
+
+    def frame_cam(phi):
+        return Camera.make(
+            position=(r * np.sin(phi), 0.0, r * np.cos(phi)),
+            euler=(0.0, phi, 0.0), fov=(0.8, 0.8))
+
+    # compile + warm
+    img = render_image(scene, frame_cam(0.0), cfg)
+    jax.block_until_ready(img)
+
+    outdir = tempfile.mkdtemp(prefix="bgc_anim_")
+    writer = native.FrameWriter(threads=4) if native.available() else None
+    t0 = time.perf_counter()
+    for f in range(frames):
+        phi = 2.0 * np.pi * f / max(frames, 1)
+        img = np.asarray(render_image(scene, frame_cam(phi), cfg))
+        path = os.path.join(outdir, f"frame_{f:04d}.png")
+        if writer is not None:
+            writer.submit(path, np.clip(img, 0.0, 1.0))
+        else:
+            write_png(path, img)
+    failures = 0
+    if writer is not None:
+        failures = writer.wait()
+        writer.close()
+    dt = (time.perf_counter() - t0) / frames
+    shutil.rmtree(outdir, ignore_errors=True)
+    if failures:
+        raise SystemExit(f"{failures} frame writes failed")
+    fps = 1.0 / dt
+    rays = size * size * samples * fps
+    emit(f"animation_frames_per_s_{size}x{size}_{samples}spp", fps,
+         "frames/s", rays / NORTH_STAR,
+         note="vs_baseline is effective fwd rays/s over the north star")
+    print(f"# animation {dt*1e3:.1f} ms/frame ({rays/1e6:.1f} M rays/s fwd, "
+          f"async_writer={writer is not None})", file=sys.stderr)
+
+
+def bench_adaptive(repeat):
+    """BASELINE config 2 (512^2 Einstein-ring scene): adaptive
+    Dormand-Prince (the scipy-RK45 parity path, XLA while_loop -- no Pallas
+    lowering) vs the tuned fixed-schedule RK4 Pallas path, plus their
+    escape-direction disagreement.  Both paths' ABSOLUTE accuracy is gated
+    against the native f64 oracle in tests/test_native.py; this row
+    measures what the fixed-schedule substitute costs (accuracy) and buys
+    (speed) on hardware -- the reference's actual solver is adaptive RK45
+    (/root/reference/README.md:196-211)."""
+    import jax
+    import jax.numpy as jnp
+
+    from blackhole_geodesic_calculator_tpu.ops import IntegratorConfig
+    from blackhole_geodesic_calculator_tpu.ops.integrate import (
+        GeodesicEnv, final_direction, launch,
+    )
+    from blackhole_geodesic_calculator_tpu.ops import states
+
+    n = 512 * 512
+    x0, d0 = camera_fan(n)
+    env = GeodesicEnv(mass=jnp.float32(0.5), r_capture=jnp.float32(1.0),
+                      r_escape=jnp.float32(70.0), lam_max=jnp.float32(100.0))
+
+    # rtol tuned to match the fixed schedule's oracle-validated error class
+    cfg_dopri = IntegratorConfig(
+        n_steps=2000, dt=0.05, method="dopri", mode="while",
+        rtol=1e-5, atol=1e-8, max_step=8.0)
+    cfg_rk4 = IntegratorConfig(n_steps=100, dt=0.12, dt_boost=64.0,
+                               dt_boost_r_ref=1.7, dt_power=1.5)
+
+    outs = {}
+    for name, cfg in (("adaptive_dopri_xla", cfg_dopri),
+                      ("rk4_pallas", cfg_rk4)):
+        step = jax.jit(lambda c=cfg: launch(env, x0, d0, c))
+        pipelined, times = time_step(step, (), repeat, depth=repeat)
+        outs[name] = jax.block_until_ready(step())
+        rays = n / pipelined
+        emit(f"geodesic_rays_per_s_fwd_{name}_512x512", rays, "rays/s",
+             rays / NORTH_STAR)
+        print(f"# {name} pipelined={pipelined*1e3:.1f} ms "
+              f"per_call_ms={[round(t*1e3,1) for t in times]}",
+              file=sys.stderr)
+
+    da = np.asarray(final_direction(env, outs["adaptive_dopri_xla"]))
+    dr = np.asarray(final_direction(env, outs["rk4_pallas"]))
+    sa = np.asarray(outs["adaptive_dopri_xla"].status)
+    sr = np.asarray(outs["rk4_pallas"].status)
+    # compare escape directions away from the critical band (where any two
+    # correct integrators diverge exponentially); b fan: |x0 xy| = b
+    b = np.linalg.norm(np.asarray(x0)[:, :2], axis=1)
+    sel = (sa == states.ESCAPED) & (sr == states.ESCAPED) & (
+        np.abs(b - 3.0 * np.sqrt(3.0) * 0.5) > 0.15)
+    cosang = np.clip(np.sum(da[sel] * dr[sel], -1), -1.0, 1.0)
+    err = float(np.arccos(cosang).max()) if sel.any() else float("nan")
+    emit("adaptive_vs_fixed_max_escape_dir_err", err, "rad",
+         err / 7.8e-4,
+         note="vs_baseline = error / flagship pixel angular resolution")
+    print(f"# adaptive-vs-fixed dir err {err:.2e} rad over {sel.sum()} "
+          f"escaped rays (statuses agree "
+          f"{(sa == sr).mean():.4f})", file=sys.stderr)
+
+
+# =============================================================================
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", choices=["suite", "flagship", "events",
+                                       "integrator", "kerr", "render4096",
+                                       "animation", "adaptive"],
+                    default="suite")
+    ap.add_argument("--size", type=int, default=1024)
+    ap.add_argument("--steps", type=int, default=100,
+                    help="RK4 integration steps per ray (the default "
+                    "schedule is oracle-validated to sub-pixel deflection "
+                    "accuracy at 1024px; see tests/test_native.py::"
+                    "test_bench_schedule_accuracy)")
+    ap.add_argument("--repeat", type=int, default=5)
+    ap.add_argument("--fwd-only", action="store_true")
+    ap.add_argument("--no-check", action="store_true",
+                    help="skip the on-hardware Pallas-vs-XLA parity gate")
+    ap.add_argument("--no-artifact", action="store_true",
+                    help="do not write BENCH_SUITE.json")
+    args = ap.parse_args()
+
+    import jax
+
+    # Persistent compilation cache: kernel compiles on this stack go through
+    # a slow remote service; caching makes warm runs start in seconds.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
     if not args.no_check:
         if jax.default_backend() == "tpu":
@@ -162,53 +483,42 @@ def main():
             print("# pallas-parity-check SKIPPED (no TPU backend)",
                   file=sys.stderr)
 
-    params = (jnp.asarray(0.5), cam.position, sky)
-    if args.fwd_only:
-        step = jax.jit(forward)
-    else:
-        step = jax.jit(jax.grad(forward, argnums=(0, 1, 2)))
+    run = args.only
 
-    # compile + warmup
-    out = step(*params)
-    jax.block_until_ready(out)
+    if run == "flagship":
+        bench_render("sky", args.size, args.steps, args.repeat,
+                     args.fwd_only)
+    if run in ("suite", "events"):
+        bench_render("events", args.size, args.steps, args.repeat, True,
+                     euler=(0.25, 0.0, 0.0))
+        bench_render("events", args.size, args.steps, args.repeat, False,
+                     euler=(0.25, 0.0, 0.0))
+    if run in ("suite", "integrator"):
+        bench_integrator(args.steps, args.repeat)
+    if run in ("suite", "kerr"):
+        bench_integrator(args.steps, args.repeat, spin=0.45)
+    if run in ("suite", "render4096"):
+        bench_render("sky", 4096, args.steps, max(2, args.repeat // 2),
+                     True, metric_tag="")
+    if run in ("suite", "animation"):
+        bench_animation(args.steps)
+    if run in ("suite", "adaptive"):
+        bench_adaptive(max(3, args.repeat))
+    if run == "suite":
+        bench_render("sky", args.size, args.steps, args.repeat, True)
+        # headline row LAST so drivers parsing the final JSON line get it
+        bench_render("sky", args.size, args.steps, args.repeat, False)
 
-    # Per-call latency (block every step): includes host dispatch.
-    times = []
-    for _ in range(args.repeat):
-        t0 = time.perf_counter()
-        out = step(*params)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-
-    # Steady-state throughput (pipelined dispatch, block once): how a real
-    # training/animation loop runs -- successive steps are enqueued while
-    # the device works, hiding host/tunnel launch latency.  This is the
-    # headline number; per-call latency is reported alongside.  Depth 20:
-    # shallower queues leave the device idle between programs on this
-    # tunneled stack (~3 ms/step at depth 5, ~1.4 ms at depth 10).
-    n_pipe = max(args.repeat, 20)
-    t0 = time.perf_counter()
-    for _ in range(n_pipe):
-        out = step(*params)
-    jax.block_until_ready(out)
-    pipelined = (time.perf_counter() - t0) / n_pipe
-
-    best = min(min(times), pipelined)
-    rays_per_s = n * n / pipelined
-
-    metric = "geodesic_rays_per_s" + ("_fwd" if args.fwd_only else "_fwd_bwd")
-    print(json.dumps({
-        "metric": f"{metric}_{n}x{n}",
-        "value": round(rays_per_s, 1),
-        "unit": "rays/s",
-        "vs_baseline": round(rays_per_s / 1e7, 4),
-    }))
-    print(
-        f"# device={jax.devices()[0].device_kind} "
-        f"pipelined={pipelined*1e3:.1f} ms/step "
-        f"per_call_ms={[round(t*1e3,1) for t in times]} steps={args.steps}",
-        file=sys.stderr,
-    )
+    if not args.no_artifact and run == "suite":
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_SUITE.json")
+        meta = {"device": jax.devices()[0].device_kind,
+                "steps": args.steps,
+                "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+                "rows": _SUITE_ROWS}
+        with open(path, "w") as f:
+            json.dump(meta, f, indent=1)
+        print(f"# suite written to {path}", file=sys.stderr)
 
 
 if __name__ == "__main__":
