@@ -139,6 +139,100 @@ def _cmd_precompute(args):
     print(f"wrote {args.out} ({time.perf_counter() - t0:.1f}s)")
 
 
+def _cmd_profile_train(args):
+    """Profile ONE sharded training step (the BASELINE config-5 shape:
+    ray-sharded render, replicated params, gradient all-reduce) and report
+    the per-op device-time table plus the collective share / overlap -- the
+    measured answer to "is the psum overlapped with the backward".  Run with
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
+    for the virtual-mesh measurement, or on TPU hardware directly."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from .camera import Camera
+    from .ops import IntegratorConfig
+    from .parallel import Trainer, make_mesh
+    from .parallel.mesh import put_global
+    from .render import RenderConfig, render_image
+    from .scene import BlackHole, Scene
+    from .utils.profiling import (
+        collective_report, format_op_table, op_table, trace,
+    )
+
+    n = args.size
+    devices = jax.devices()
+    mesh = make_mesh(devices)
+    print(f"devices={len(devices)} ({devices[0].device_kind}) "
+          f"mesh={dict(mesh.shape)} size={n} steps={args.steps}")
+
+    h, w = 32, 64
+    v, u = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    sky = jnp.asarray(np.stack(
+        [0.5 + 0.5 * np.sin(2 * np.pi * u / w), v / h,
+         0.3 + 0.0 * u], -1), jnp.float32)
+    scene0 = Scene(bh=BlackHole.make(mass=0.5), background=sky)
+    cam = Camera.make(position=(0.0, 0.0, 25.0), fov=(0.8, 0.8))
+    cfg = RenderConfig(
+        width=n, height=n, samples=1,
+        integrator=IntegratorConfig(n_steps=args.steps, dt=0.12,
+                                    dt_boost=64.0, dt_boost_r_ref=1.7,
+                                    dt_power=1.5),
+        lam_max=100.0)
+
+    def param_fn(p):
+        s = dc.replace(scene0, bh=dc.replace(scene0.bh, mass=p["mass"]),
+                       background=p["background"])
+        return s, dc.replace(cam, position=p["cam_pos"])
+
+    params = {"mass": jnp.asarray(0.45), "cam_pos": cam.position,
+              "background": sky}
+    target = render_image(scene0, cam, cfg)[..., :3]
+
+    tr = Trainer(cfg=cfg, param_fn=param_fn,
+                 optimizer=optax.adam(1e-2), mesh=mesh)
+    target_flat, ys, xs = tr.shard_target(target)
+    params = put_global(params, tr._repl)
+    opt_state = tr.init(params)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    keys = put_global(jnp.zeros((tr._n_smp, 2), jnp.uint32),
+                      NamedSharding(mesh, P("samples")))
+
+    def step():
+        return tr.step(params, opt_state, target_flat, ys, xs, keys)
+
+    out = step()          # compile + warm
+    jax.block_until_ready(out)
+
+    import tempfile
+    import time
+
+    logdir = tempfile.mkdtemp(prefix="bgc_train_prof_")
+    t0 = time.perf_counter()
+    with trace(logdir):
+        for _ in range(args.repeats):
+            out = step()
+        jax.tree.map(lambda a: a.block_until_ready(), out)
+    wall = (time.perf_counter() - t0) / args.repeats
+    print(f"\nwall per step: {wall*1e3:.1f} ms")
+    print("\nper-op device time (top 15):")
+    print(format_op_table(op_table(logdir, top=15, repeats=args.repeats)))
+    rep = collective_report(logdir, repeats=args.repeats)
+    print(f"\ncollectives: {rep['collective_ms']:.3f} ms/step of "
+          f"{rep['compute_ms'] + rep['collective_ms']:.3f} ms total device "
+          f"time = {rep['collective_share']*100:.2f}% share; "
+          f"overlap with compute {rep['overlap_fraction']*100:.1f}%")
+    for name, ms in rep["top_collectives"]:
+        print(f"  {ms:9.3f} ms  {name[:70]}")
+    import shutil
+
+    shutil.rmtree(logdir, ignore_errors=True)
+
+
 def _cmd_bench(args):
     import subprocess
 
@@ -157,6 +251,13 @@ def _cmd_bench(args):
 
 
 def main(argv=None):
+    # This image's sitecustomize force-registers a TPU PJRT plugin; honor an
+    # explicit JAX_PLATFORMS=cpu request (e.g. for the virtual-mesh
+    # profile-train run) the way tests/conftest.py does.
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     ap = argparse.ArgumentParser(prog="blackhole_geodesic_calculator_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
@@ -192,6 +293,14 @@ def main(argv=None):
     p.add_argument("--max-step", type=float, default=0.1)
     p.add_argument("--curve-end", type=float, default=100.0)
     p.set_defaults(fn=_cmd_precompute)
+
+    p = sub.add_parser("profile-train",
+                       help="profile one sharded training step: op table "
+                       "+ collective share/overlap (BASELINE config 5)")
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--steps", type=int, default=64)
+    p.add_argument("--repeats", type=int, default=3)
+    p.set_defaults(fn=_cmd_profile_train)
 
     p = sub.add_parser("bench", help="run the rays/s benchmark")
     p.add_argument("--size", type=int, default=1024)

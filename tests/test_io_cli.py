@@ -188,3 +188,51 @@ def test_profile_steps_op_table():
     assert total > 0
     txt = format_op_table(rows)
     assert "device ms/step" in txt and len(txt.splitlines()) >= 2
+
+
+def test_collective_report_sharded_step():
+    """profile_collectives on a shard_map'd psum program must find the
+    all-reduce, attribute a nonzero collective share, and compute a finite
+    overlap fraction (the measured form of BASELINE config 5's
+    'all-reduce overlapped with backward' claim)."""
+    import jax
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    from blackhole_geodesic_calculator_tpu.utils.profiling import (
+        profile_collectives,
+    )
+
+    mesh = Mesh(np.array(jax.devices()), ("d",))
+
+    def local(x):
+        y = (x @ x).sum()
+        return jax.lax.psum(y, "d")
+
+    f = jax.jit(shard_map(local, mesh=mesh, in_specs=P("d"),
+                          out_specs=P()))
+    x = jnp.ones((len(jax.devices()) * 64, 64))
+    rep = profile_collectives(f, x, repeats=2)
+    assert rep["collective_ms"] > 0, rep
+    assert 0 < rep["collective_share"] < 1
+    assert 0.0 <= rep["overlap_fraction"] <= 1.0
+    names = " ".join(n.lower() for n, _ in rep["top_collectives"])
+    assert ("all-reduce" in names or "allreduce" in names
+            or "psum" in names), rep["top_collectives"]
+
+
+def test_collective_report_no_collectives():
+    """A collective-free program reports zero share and NaN overlap."""
+    import math
+
+    import jax
+
+    from blackhole_geodesic_calculator_tpu.utils.profiling import (
+        profile_collectives,
+    )
+
+    f = jax.jit(lambda x: (x * 2).sum())
+    rep = profile_collectives(f, jnp.ones((128, 128)), repeats=1)
+    assert rep["collective_ms"] == 0
+    assert rep["collective_share"] == 0
+    assert math.isnan(rep["overlap_fraction"])
