@@ -44,6 +44,12 @@ def init_distributed(coordinator_address: str | None = None,
     if num_processes is not None and num_processes <= 1:
         return False
     try:  # already initialized earlier in this process: success no-op
+        # jax._src.distributed is private API (verified against jax 0.8.x,
+        # this image's pin); on a jax upgrade that moves it, the except
+        # below silently degrades ONLY this conflicting-config check --
+        # initialize() still raises on a real double-init with different
+        # coordinates, so correctness does not regress, only the error
+        # message quality
         from jax._src import distributed as _dist
 
         state = _dist.global_state

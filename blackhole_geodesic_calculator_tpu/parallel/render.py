@@ -131,6 +131,51 @@ def render_image_sharded(
     return _assemble_fn(mesh, cfg)(rgb, put_global(perm, repl))
 
 
+def polarization_map_sharded(
+    scene: Scene,
+    cam: Camera,
+    cfg: RenderConfig,
+    mesh: Mesh | None = None,
+) -> Array:
+    """Polarization rotation map sharded over the ``rays`` mesh axis --
+    the multi-device form of ``render.polarization_map``, and the intended
+    entry point for large KERR maps (the per-pixel parallel-transport ODE
+    is ~40x the render path's flops; see renderer.polarization_rays).
+    Pixel-exact with the single-device map (deterministic, no jitter).
+    Returns (Hc, Wc) with NaN at captured/error pixels."""
+    from ..render.renderer import polarization_rays
+
+    if mesh is None:
+        mesh = make_mesh()
+    n_ray = mesh.shape[RAY_AXIS]
+
+    ys, xs, perm, _ = _flat_pixels(cfg, n_ray)
+    shard = NamedSharding(mesh, P(RAY_AXIS))
+    repl = NamedSharding(mesh, P())
+    ys = put_global(ys, shard)
+    xs = put_global(xs, shard)
+    scene = put_global(scene, repl)
+    cam = put_global(cam, repl)
+
+    local = jax.jit(shard_map(
+        lambda sc, c, ys_, xs_: polarization_rays(sc, c, cfg, ys_, xs_),
+        mesh=mesh,
+        in_specs=(P(), P(), P(RAY_AXIS), P(RAY_AXIS)),
+        out_specs=P(RAY_AXIS),
+        check_rep=False,
+    ))
+    ang = local(scene, cam, ys, xs)
+
+    x0, x1, y0, y1 = cfg.crop()
+    hc, wc = y1 - y0, x1 - x0
+
+    def assemble(ang, perm):
+        return jnp.full((hc * wc,), jnp.nan, ang.dtype).at[perm].set(
+            ang).reshape(hc, wc)
+
+    return jax.jit(assemble, out_shardings=repl)(ang, put_global(perm, repl))
+
+
 @functools.lru_cache(maxsize=64)
 def _assemble_fn(mesh: Mesh, cfg: RenderConfig):
     """Framebuffer assembly (the reference's progressive buffer write,

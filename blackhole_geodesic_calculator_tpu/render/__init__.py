@@ -5,6 +5,8 @@ from .stats import render_stats, settings_dump
 from .debug import debug_rays, format_debug_string
 from .renderer import (
     RenderConfig,
+    polarization_map,
+    polarization_rays,
     render_image,
     render_sample,
     render_progressive,
@@ -20,6 +22,8 @@ __all__ = [
     "settings_dump",
     "render_limited",
     "RenderConfig",
+    "polarization_map",
+    "polarization_rays",
     "render_image",
     "render_sample",
     "render_progressive",

@@ -225,12 +225,17 @@ def render_progressive(scene: Scene, cam: Camera, cfg: RenderConfig,
         yb = y0
         while yb < y1:
             take = min(band, y1 - yb)
-            # fixed band shape (rows past the crop are rendered and
-            # discarded) so every band reuses one compilation
+            # fixed band shape so every band reuses one compilation; the
+            # last band is SHIFTED UP to end exactly at the crop edge
+            # (band <= n_rows by construction), so every rendered row is a
+            # real crop row -- no ray is ever traced for a discarded
+            # out-of-crop pixel
+            yr = min(yb, y1 - band)
             ys, xs = pixel_grid(cfg.width, cfg.height, x0, x1,
-                                yb, yb + band)
+                                yr, yr + band)
             rgb = jit_rays(scene, cam, cfg, ys, xs, None)
-            full = full.at[yb:yb + take, x0:x1, :3].set(rgb[:take])
+            full = full.at[yb:yb + take, x0:x1, :3].set(
+                rgb[yb - yr:yb - yr + take])
             yield i, full
             i += 1
             yb += take
@@ -247,23 +252,16 @@ def render_progressive(scene: Scene, cam: Camera, cfg: RenderConfig,
         yield i, full
 
 
-def polarization_map(scene: Scene, cam: Camera, cfg: RenderConfig):
-    """Per-pixel polarization rotation map (radians) -- the reference's
-    unchecked 'Add polarisation' milestone (reference README.md:217-220),
-    exact closed form for Schwarzschild (ops/polarization.py: no
-    gravitational Faraday rotation in a spherically symmetric spacetime,
-    so the observable is the geometric rotation of the in-plane basis);
-    for Kerr the parallel-transport ODE is integrated per pixel and the
-    map measures the TOTAL rotation including frame dragging.  Captured/
-    error pixels get NaN.
-    """
+def polarization_rays(scene: Scene, cam: Camera, cfg: RenderConfig,
+                      ys: Array, xs: Array) -> Array:
+    """Polarization rotation (radians) for the rays through pixels
+    (ys, xs) -- any shape, typically a (Hc, Wc) grid or a flat sharded (N,)
+    batch (parallel.polarization_map_sharded).  Returns ys.shape."""
     from ..ops.polarization import (
         _unit, plane_normal, polarization_rotation,
         transport_polarization_ode,
     )
 
-    x0c, x1c, y0c, y1c = cfg.crop()
-    ys, xs = pixel_grid(cfg.width, cfg.height, x0c, x1c, y0c, y1c)
     origin, d = generate_rays(cam, cfg.width, cfg.height, ys, xs, None)
     env = scene_env(scene, cfg, cam)
     o_rel = origin - scene.bh.loc
@@ -300,3 +298,35 @@ def polarization_map(scene: Scene, cam: Camera, cfg: RenderConfig):
     escaped = (jnp.linalg.norm(x1, axis=-1)
                >= 0.99 * (float(cfg.r_escape) if cfg.r_escape > 0 else 70.0))
     return jnp.where(escaped, ang, jnp.nan).reshape(shape)
+
+
+# Above this many Kerr pixels on one device, warn and point at the sharded
+# entry: the per-pixel AD-Christoffel transport ODE is ~40x the flops of
+# the render path, and a quietly-launched 1024^2 map would run for hours.
+_KERR_POLARIZATION_WARN_PIXELS = 256 * 256
+
+
+def polarization_map(scene: Scene, cam: Camera, cfg: RenderConfig):
+    """Per-pixel polarization rotation map (radians) over the (cropped)
+    image -- the reference's unchecked 'Add polarisation' milestone
+    (reference README.md:217-220), exact closed form for Schwarzschild
+    (ops/polarization.py: no gravitational Faraday rotation in a
+    spherically symmetric spacetime, so the observable is the geometric
+    rotation of the in-plane basis); for Kerr the parallel-transport ODE is
+    integrated per pixel and the map measures the TOTAL rotation including
+    frame dragging.  Captured/error pixels get NaN.
+
+    For large Kerr maps use ``parallel.polarization_map_sharded`` (same
+    result, rays sharded over the device mesh)."""
+    x0c, x1c, y0c, y1c = cfg.crop()
+    if (scene.bh.spin is not None
+            and (x1c - x0c) * (y1c - y0c) > _KERR_POLARIZATION_WARN_PIXELS):
+        import warnings
+
+        warnings.warn(
+            f"Kerr polarization map over {(x1c - x0c) * (y1c - y0c)} pixels "
+            "on one device: the parallel-transport ODE is ~40x the render "
+            "path's flops. Use parallel.polarization_map_sharded or a "
+            "mark_* crop window.", stacklevel=2)
+    ys, xs = pixel_grid(cfg.width, cfg.height, x0c, x1c, y0c, y1c)
+    return polarization_rays(scene, cam, cfg, ys, xs)

@@ -149,3 +149,34 @@ def test_animation_resume_bit_identical(tmp_path):
     for f in range(2):
         assert open(pat.format(frame=f), "rb").read() == frames[f], (
             f"frame {f} not bit-identical after resume")
+
+
+def test_golden_512_kerr_a09():
+    """Full-size Kerr golden: 512x512 at spin a = 0.45 (a/M = 0.9, the
+    reference's advertised RelativisticCamera capability,
+    RelativisticRenderEngineCamEdition.py:210), camera edge-on to the spin
+    axis so the frame-dragging asymmetry of the shadow is in-frame --
+    a first-class render path with its own hand-derived kernel RHS
+    deserves a full-size regression oracle, not just the 64x64 miniature
+    in test_golden.py."""
+    scene = Scene(bh=BlackHole.make(mass=0.5, spin=0.45), background=sky())
+    cam = Camera.make(position=(20.0, 0.0, 0.0),
+                      euler=(0.0, np.pi / 2, 0.0), fov=(0.9, 0.9))
+    cfg = RenderConfig(
+        width=512, height=512, samples=1,
+        integrator=IntegratorConfig(n_steps=400, dt=0.06, dt_boost=48.0,
+                                    dt_boost_r_ref=1.6, dt_power=1.5,
+                                    backend="scan"),
+        lam_max=120.0)
+    img = np.asarray(render_image(scene, cam, cfg))
+    assert np.isfinite(img).all()
+    # the shadow must be displaced off-center by frame dragging: compare
+    # black-pixel counts left/right of the vertical midline
+    dark = (img[..., :3].max(-1) < 0.02)
+    # spin axis (world z) maps to IMAGE X with this camera; the
+    # frame-dragging displacement is perpendicular to it -> image y
+    top, bottom = dark[:256, :].sum(), dark[256:, :].sum()
+    assert dark.sum() > 1000, "no shadow rendered"
+    asym = abs(top - bottom) / max(top + bottom, 1)
+    assert asym > 0.05, f"expected frame-dragging asymmetry, got {asym:.3f}"
+    _check_golden("kerr_a09_512", img)

@@ -120,9 +120,10 @@ def test_no_nan_gradients_with_all_event_types():
 
 
 def test_kerr_forward_parity_and_adjoint():
-    """Kerr (a != 0) goes through the same kernels with the Kerr-Schild RHS
-    from in-kernel autodiff; forward states and (mass, spin) gradients must
-    match the XLA path.  Regression for two found bugs: the backward tape
+    """Kerr (a != 0) goes through the same kernels with the hand-derived
+    analytic Kerr-Schild RHS (pallas_kernel._rhs_kerr_soa, the SoA twin of
+    native/src/geodesic.cpp); forward states and (mass, spin) gradients
+    must match the XLA path.  Regression for two found bugs: the backward tape
     recompute silently using the Schwarzschild RHS, and kernels rounding the
     trip count up to a segment multiple (over-integrating)."""
     from blackhole_geodesic_calculator_tpu.models.kerr import horizon_radius
