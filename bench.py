@@ -410,13 +410,19 @@ def bench_adaptive(repeat):
     # rtol tuned to match the fixed schedule's oracle-validated error class
     cfg_dopri = IntegratorConfig(
         n_steps=2000, dt=0.05, method="dopri", mode="while",
-        rtol=1e-5, atol=1e-8, max_step=8.0)
+        rtol=1e-5, atol=1e-8, max_step=8.0, backend="scan")
+    cfg_dopri_pl = dataclasses.replace(cfg_dopri, backend="pallas")
     cfg_rk4 = IntegratorConfig(n_steps=100, dt=0.12, dt_boost=64.0,
                                dt_boost_r_ref=1.7, dt_power=1.5)
 
+    rows = [("adaptive_dopri_xla", cfg_dopri), ("rk4_pallas", cfg_rk4)]
+    import jax as _jax
+
+    if _jax.default_backend() == "tpu":
+        # in-kernel per-ray adaptive controller (integrate_pallas_dopri)
+        rows.insert(1, ("adaptive_dopri_pallas", cfg_dopri_pl))
     outs = {}
-    for name, cfg in (("adaptive_dopri_xla", cfg_dopri),
-                      ("rk4_pallas", cfg_rk4)):
+    for name, cfg in rows:
         step = jax.jit(lambda c=cfg: launch(env, x0, d0, c))
         pipelined, times = time_step(step, (), repeat, depth=repeat)
         outs[name] = jax.block_until_ready(step())

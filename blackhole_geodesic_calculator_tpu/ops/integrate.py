@@ -504,14 +504,20 @@ def _use_pallas(env, cfg: IntegratorConfig) -> bool:
         return True
     if cfg.backend != "auto":
         return False
-    if cfg.method != "rk4":
-        return False
     return jax.default_backend() == "tpu"
 
 
 def integrate(env: GeodesicEnv, s0: RayState, cfg: IntegratorConfig) -> RayState:
     if cfg.method == "dopri":
         if cfg.mode == "while":       # forward-only fast path
+            if _use_pallas(env, cfg):
+                # in-kernel per-ray step controller (VMEM-resident state;
+                # the XLA while-loop round-trips the carry through HBM
+                # every trip -- measured 19x slower on v5e at 512^2).
+                # Forward-only: dopri GRADIENTS go through the scan path.
+                from .pallas_kernel import integrate_pallas_dopri
+
+                return integrate_pallas_dopri(env, s0, cfg)
             return integrate_adaptive(env, s0, cfg)[0]
         return integrate_adaptive_scan(env, s0, cfg)
     if _use_pallas(env, cfg):

@@ -172,56 +172,23 @@ def _dt_soa(a0, a1, a2, active, scal, enabled, kerr, power):
     return dt
 
 
-def _soa_step(xp, lam, status, hit_obj, scal, sph, *, has_disk, n_sph,
-              kerr=False, enabled=None, power=1.0):
-    """One RK4 step + event handling on (S, 128) component tiles.
-
-    Mirrors integrate._fixed_step + _apply_events (kept in lockstep; parity
-    is tested).  Returns ((x0..p2, E), lam1, status1, hit_obj1).
-    ``enabled`` (scalar bool) gates the step: a disabled step has dt = 0
-    and is exactly the identity, which lets kernels pad the trip count to a
-    chunk/segment multiple while integrating EXACTLY n_steps steps.
-    ``kerr=True`` switches the RHS to the Kerr-Schild family with spin
-    ``a = scal[9]`` (hand-derived analytic gradient, equal to
-    ops/geodesic.ks_rhs -- parity tested) and the termination/step radius
-    to the Kerr-Schild radius.
-    """
+def _events_merge(xp, cand, dt, lam, status, hit_obj, scal, sph, *,
+                  has_disk, n_sph, kerr):
+    """Event detection + classification + freeze-merge of one step
+    candidate ``cand`` = (y0..q2) from state ``xp`` = (x0..p2, E) -- the
+    block shared verbatim by the RK4 step (``_soa_step``) and the adaptive
+    Dormand-Prince trip (``_dopri_trip``); mirrors integrate._apply_events
+    (kept in lockstep; parity is tested)."""
     x0, x1, x2, p0, p1, p2, E = xp
-    mass = scal[0]
+    y0, y1, y2, q0, q1, q2 = cand
     r_cap, r_esc, lam_max = scal[4], scal[5], scal[6]
     spin = scal[9]
-
     active = status == states.ACTIVE
 
     def radius(a0, a1, a2):
         if kerr:
             return _ks_radius_soa(spin)(a0, a1, a2)
         return jnp.sqrt(a0 * a0 + a1 * a1 + a2 * a2)
-
-    # --- per-ray dt (radius-proportional growth; integrate._dt_eff) -------
-    dt = _dt_soa(x0, x1, x2, active, scal, enabled, kerr, power)
-
-    # --- RK4 on the Hamiltonian system (geodesic.schwarzschild_rhs /
-    #     geodesic.ks_rhs) ---------------------------------------------------
-    rhs = (_rhs_kerr_soa(mass, spin, E) if kerr
-           else _rhs_schw_soa(mass, E))
-    h = dt
-
-    def axpy(c, ks):
-        return (x0 + c * ks[0], x1 + c * ks[1], x2 + c * ks[2],
-                p0 + c * ks[3], p1 + c * ks[4], p2 + c * ks[5])
-
-    ka = rhs(x0, x1, x2, p0, p1, p2)
-    kb = rhs(*axpy(0.5 * h, ka))
-    kc = rhs(*axpy(0.5 * h, kb))
-    kd = rhs(*axpy(h, kc))
-    s6 = h * (1.0 / 6.0)
-    y0 = x0 + s6 * (ka[0] + 2.0 * (kb[0] + kc[0]) + kd[0])
-    y1 = x1 + s6 * (ka[1] + 2.0 * (kb[1] + kc[1]) + kd[1])
-    y2 = x2 + s6 * (ka[2] + 2.0 * (kb[2] + kc[2]) + kd[2])
-    q0 = p0 + s6 * (ka[3] + 2.0 * (kb[3] + kc[3]) + kd[3])
-    q1 = p1 + s6 * (ka[4] + 2.0 * (kb[4] + kc[4]) + kd[4])
-    q2 = p2 + s6 * (ka[5] + 2.0 * (kb[5] + kc[5]) + kd[5])
 
     # --- events on the segment (x -> y); integrate._apply_events ----------
     disk_p0 = disk_p1 = None
@@ -303,6 +270,344 @@ def _soa_step(xp, lam, status, hit_obj, scal, sph, *, has_disk, n_sph,
         lam1 = jnp.where(sel, lam + dt * td, lam1)
 
     return (y0, y1, y2, q0, q1, q2, E), lam1, st, obj1
+
+
+def _soa_step(xp, lam, status, hit_obj, scal, sph, *, has_disk, n_sph,
+              kerr=False, enabled=None, power=1.0):
+    """One RK4 step + event handling on (S, 128) component tiles.
+
+    Mirrors integrate._fixed_step + _apply_events (kept in lockstep; parity
+    is tested).  Returns ((x0..p2, E), lam1, status1, hit_obj1).
+    ``enabled`` (scalar bool) gates the step: a disabled step has dt = 0
+    and is exactly the identity, which lets kernels pad the trip count to a
+    chunk/segment multiple while integrating EXACTLY n_steps steps.
+    ``kerr=True`` switches the RHS to the Kerr-Schild family with spin
+    ``a = scal[9]`` (hand-derived analytic gradient, equal to
+    ops/geodesic.ks_rhs -- parity tested) and the termination/step radius
+    to the Kerr-Schild radius.
+    """
+    x0, x1, x2, p0, p1, p2, E = xp
+    mass = scal[0]
+    spin = scal[9]
+
+    active = status == states.ACTIVE
+
+    # --- per-ray dt (radius-proportional growth; integrate._dt_eff) -------
+    dt = _dt_soa(x0, x1, x2, active, scal, enabled, kerr, power)
+
+    # --- RK4 on the Hamiltonian system (geodesic.schwarzschild_rhs /
+    #     geodesic.ks_rhs) ---------------------------------------------------
+    rhs = (_rhs_kerr_soa(mass, spin, E) if kerr
+           else _rhs_schw_soa(mass, E))
+    h = dt
+
+    def axpy(c, ks):
+        return (x0 + c * ks[0], x1 + c * ks[1], x2 + c * ks[2],
+                p0 + c * ks[3], p1 + c * ks[4], p2 + c * ks[5])
+
+    ka = rhs(x0, x1, x2, p0, p1, p2)
+    kb = rhs(*axpy(0.5 * h, ka))
+    kc = rhs(*axpy(0.5 * h, kb))
+    kd = rhs(*axpy(h, kc))
+    s6 = h * (1.0 / 6.0)
+    y0 = x0 + s6 * (ka[0] + 2.0 * (kb[0] + kc[0]) + kd[0])
+    y1 = x1 + s6 * (ka[1] + 2.0 * (kb[1] + kc[1]) + kd[1])
+    y2 = x2 + s6 * (ka[2] + 2.0 * (kb[2] + kc[2]) + kd[2])
+    q0 = p0 + s6 * (ka[3] + 2.0 * (kb[3] + kc[3]) + kd[3])
+    q1 = p1 + s6 * (ka[4] + 2.0 * (kb[4] + kc[4]) + kd[4])
+    q2 = p2 + s6 * (ka[5] + 2.0 * (kb[5] + kc[5]) + kd[5])
+
+    return _events_merge(xp, (y0, y1, y2, q0, q1, q2), dt, lam, status,
+                         hit_obj, scal, sph, has_disk=has_disk,
+                         n_sph=n_sph, kerr=kerr)
+
+
+# Dormand-Prince 5(4) tableau (integrate._DP_A/_DP_B5/_DP_B4, inlined here
+# so the kernel module has no import-order coupling with integrate.py).
+_DP_A = (
+    (),
+    (1 / 5,),
+    (3 / 40, 9 / 40),
+    (44 / 45, -56 / 15, 32 / 9),
+    (19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729),
+    (9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656),
+    (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84),
+)
+_DP_B5 = (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0)
+_DP_E = tuple(
+    b5 - b4 for b5, b4 in zip(
+        _DP_B5,
+        (5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200,
+         187 / 2100, 1 / 40)))
+
+
+def _dopri_trip(xp, h, lam, status, hit_obj, scal, sph, *, has_disk, n_sph,
+                kerr, rtol, atol, min_step, max_step, enabled):
+    """One adaptive Dormand-Prince 5(4) TRIP (attempt) on SoA tiles: embed,
+    test the error, accept-or-reject, rescale the per-ray step ``h`` -- the
+    exact SoA twin of one ``integrate.integrate_adaptive`` while-loop body
+    (same tableau, same 0.2-power controller, same event handling via
+    ``_events_merge``; parity is tested).  Forward-only.
+
+    Returns (xp1, h1, lam1, status1, hit_obj1).  A trip with
+    ``enabled=False`` is the exact identity (dt = 0 candidate rejected for
+    h purposes), which lets the kernel pad the trip count to a chunk
+    multiple."""
+    x0, x1, x2, p0, p1, p2, E = xp
+    mass, spin = scal[0], scal[9]
+    active = status == states.ACTIVE
+    live = active if enabled is None else (
+        active & jnp.asarray(enabled))
+
+    dt = jnp.where(live, h, 0.0)
+    rhs = (_rhs_kerr_soa(mass, spin, E) if kerr
+           else _rhs_schw_soa(mass, E))
+
+    ks = []
+    for i in range(7):
+        yi = (x0, x1, x2, p0, p1, p2)
+        for j, aij in enumerate(_DP_A[i]):
+            if aij != 0.0:
+                yi = tuple(b + (dt * aij) * k for b, k in zip(yi, ks[j]))
+        ks.append(rhs(*yi))
+
+    def comb(bs):
+        out = [jnp.zeros_like(x0)] * 6
+        for k, b in zip(ks, bs):
+            if b != 0.0:
+                out = [o + b * kc for o, kc in zip(out, k)]
+        return out
+
+    c5 = comb(_DP_B5)
+    y = (x0 + dt * c5[0], x1 + dt * c5[1], x2 + dt * c5[2],
+         p0 + dt * c5[3], p1 + dt * c5[4], p2 + dt * c5[5])
+    ce = comb(_DP_E)
+    err = [dt * c for c in ce]
+
+    # scaled RMS error over the 6 components (integrate_adaptive's norm)
+    base = (x0, x1, x2, p0, p1, p2)
+    err2 = jnp.zeros_like(x0)
+    for b, ynew, e in zip(base, y, err):
+        scale = atol + rtol * jnp.maximum(jnp.abs(b), jnp.abs(ynew))
+        r = e / scale
+        err2 = err2 + r * r
+    err2 = err2 * (1.0 / 6.0)
+    # forward-only: plain sqrt (no 0-derivative guard needed)
+    errn = jnp.sqrt(err2)
+
+    accept = ((errn <= 1.0) | (h <= min_step)) & live
+
+    xp1, lam1, st1, obj1 = _events_merge(
+        xp, y, dt, lam, status, hit_obj, scal, sph,
+        has_disk=has_disk, n_sph=n_sph, kerr=kerr)
+
+    sel = lambda a, b: jnp.where(accept, a, b)
+    xp_next = tuple(sel(a, b) for a, b in zip(xp1[:6], xp))
+    lam_next = sel(lam1, lam)
+    st_next = jnp.where(accept, st1, status)
+    obj_next = jnp.where(accept, obj1, hit_obj)
+
+    factor = 0.9 * jnp.where(errn > 0, errn, 1e-10) ** -0.2
+    factor = jnp.clip(factor, 0.2, 5.0)
+    h_next = jnp.where(
+        (st_next == states.ACTIVE) & live,
+        jnp.clip(h * factor, min_step, max_step), h)
+
+    return (xp_next + (E,), h_next, lam_next, st_next, obj_next)
+
+
+def _fwd_dopri_kernel(scal_ref, sph_ref,
+                      x0r, x1r, x2r, p0r, p1r, p2r, Er, hr, lamr, str_,
+                      objr,
+                      ox0, ox1, ox2, op0, op1, op2, olam, ost, oobj,
+                      *, n_steps, has_disk, n_sph, kerr, rtol, atol,
+                      min_step, max_step, chunk=16):
+    """Adaptive-forward kernel: fori over chunks of dopri TRIPS, each chunk
+    skipped once every ray in the tile terminated (same early-exit shape as
+    _fwd_fast_kernel).  The per-ray step size h lives in its own component
+    row -- VMEM-resident across the whole integration like the state."""
+    scal = scal_ref[0, :]
+    sph = sph_ref[:] if n_sph else None
+
+    carry0 = (
+        (x0r[:], x1r[:], x2r[:], p0r[:], p1r[:], p2r[:], Er[:]),
+        hr[:], lamr[:], str_[:], objr[:],
+    )
+    n_chunks = -(-n_steps // chunk)
+
+    def body(i, carry):
+        def run(carry):
+            def inner(j, c):
+                xp, h, lam, st, obj = c
+                return _dopri_trip(
+                    xp, h, lam, st, obj, scal, sph,
+                    has_disk=has_disk, n_sph=n_sph, kerr=kerr,
+                    rtol=rtol, atol=atol, min_step=min_step,
+                    max_step=max_step,
+                    enabled=i * chunk + j < n_steps)
+
+            return lax.fori_loop(0, chunk, inner, carry)
+
+        st = carry[3]
+        return lax.cond(jnp.any(st == states.ACTIVE), run, lambda c: c,
+                        carry)
+
+    xp, h, lam, st, obj = lax.fori_loop(0, n_chunks, body, carry0)
+
+    ox0[:], ox1[:], ox2[:] = xp[0], xp[1], xp[2]
+    op0[:], op1[:], op2[:] = xp[3], xp[4], xp[5]
+    olam[:], ost[:], oobj[:] = lam, st, obj
+
+
+@functools.lru_cache(maxsize=64)
+def _build_dopri(n_steps: int, has_disk: bool, n_sph: int, sub: int,
+                 interpret: bool, kerr: bool, rtol: float, atol: float,
+                 min_step: float, max_step: float):
+    """Forward-only adaptive core for one static configuration."""
+
+    def f32_out(r):
+        return jax.ShapeDtypeStruct((r, LANES), jnp.float32)
+
+    def i32_out(r):
+        return jax.ShapeDtypeStruct((r, LANES), jnp.int32)
+
+    scal_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def fwd(*args):
+        scal, sph = args[11], args[12]
+        comps = args[:11]
+        r = comps[0].shape[0]
+        tiles = r // sub
+        kern = functools.partial(
+            _fwd_dopri_kernel, n_steps=n_steps, has_disk=has_disk,
+            n_sph=n_sph, kerr=kerr, rtol=rtol, atol=atol,
+            min_step=min_step, max_step=max_step)
+        outs = pl.pallas_call(
+            kern,
+            grid=(tiles,),
+            in_specs=[scal_spec, scal_spec] + [_row_spec(sub)] * 11,
+            out_specs=[_row_spec(sub)] * 9,
+            out_shape=[f32_out(r)] * 7 + [i32_out(r)] * 2,
+            interpret=interpret,
+        )(scal, sph, *comps)
+        return tuple(outs)
+
+    return fwd
+
+
+def integrate_pallas_dopri(env, s0, cfg, *, sub: int | None = None,
+                           interpret: bool = False):
+    """Pallas twin of integrate.integrate_adaptive (forward-only): the
+    whole per-ray adaptive Dormand-Prince integration -- embedded error
+    control, accept/reject, per-ray h -- runs inside one kernel with the
+    state VMEM-resident, giving BASELINE config 2 (adaptive RK45 with
+    early exit, the reference's actual solver family,
+    /root/reference/README.md:196-211) a fast hardware path instead of an
+    HBM-round-tripping XLA while-loop.  Not differentiable; dopri gradients
+    go through integrate_adaptive_scan (XLA)."""
+    batch = s0.E.shape
+    if len(batch) != 1:
+        flat = states.RayState(
+            x=s0.x.reshape(-1, 3), p=s0.p.reshape(-1, 3),
+            E=s0.E.reshape(-1), lam=s0.lam.reshape(-1),
+            status=s0.status.reshape(-1), hit_obj=s0.hit_obj.reshape(-1))
+        out = integrate_pallas_dopri(env, flat, cfg, sub=sub,
+                                     interpret=interpret)
+        return states.RayState(
+            x=out.x.reshape(batch + (3,)), p=out.p.reshape(batch + (3,)),
+            E=s0.E, lam=out.lam.reshape(batch),
+            status=out.status.reshape(batch),
+            hit_obj=out.hit_obj.reshape(batch))
+    n = s0.E.shape[0]
+    if sub is None:
+        # forward-only: no tape, just the 11-row carry + 7 k-pair
+        # temporaries; sub=64 fits comfortably (Kerr included)
+        sub = 64
+    tile = sub * LANES
+    pad = (-n) % tile
+    npad = n + pad
+
+    def pad_to(v, fill=0.0):
+        if pad:
+            v = jnp.concatenate(
+                [v, jnp.full((pad,) + v.shape[1:], fill, v.dtype)])
+        return v
+
+    h0 = jnp.minimum(jnp.asarray(cfg.dt, jnp.float32),
+                     jnp.asarray(cfg.max_step, jnp.float32))
+    comps = [pad_to(s0.x[:, 0], 1e3), pad_to(s0.x[:, 1]),
+             pad_to(s0.x[:, 2]),
+             pad_to(s0.p[:, 0]), pad_to(s0.p[:, 1]), pad_to(s0.p[:, 2]),
+             pad_to(s0.E, 1.0),
+             pad_to(jnp.full((n,), h0, jnp.float32)),
+             pad_to(s0.lam)]
+    st0 = pad_to(s0.status, states.ERROR)
+    obj0 = pad_to(s0.hit_obj, -1)
+    rows = npad // LANES
+    comps = [c.reshape(rows, LANES) for c in comps]
+    st0 = st0.reshape(rows, LANES)
+    obj0 = obj0.reshape(rows, LANES)
+
+    # cost-coherent tile ordering (same key as integrate_pallas)
+    reorder = cfg.tile_order == "cost" and rows > 2 * sub
+    if reorder:
+        x0f, x1f, x2f, p0f, p1f, p2f = comps[:6]
+        cx = x1f * p2f - x2f * p1f
+        cy = x2f * p0f - x0f * p2f
+        cz = x0f * p1f - x1f * p0f
+        key = jnp.max(cx * cx + cy * cy + cz * cz, axis=1)
+        order = jnp.argsort(lax.stop_gradient(key))
+        inv_order = jnp.zeros_like(order).at[order].set(
+            jnp.arange(rows, dtype=order.dtype), unique_indices=True)
+        comps = [c[order] for c in comps]
+        st0 = st0[order]
+        obj0 = obj0[order]
+
+    scal = jnp.stack([
+        jnp.asarray(env.mass, jnp.float32),
+        jnp.asarray(cfg.dt, jnp.float32),
+        jnp.asarray(1.0, jnp.float32),
+        jnp.asarray(1.0, jnp.float32),
+        jnp.asarray(env.r_capture, jnp.float32),
+        jnp.asarray(env.r_escape, jnp.float32),
+        jnp.asarray(env.lam_max, jnp.float32),
+        jnp.asarray(env.disk.r_in if env.disk is not None else 0.0,
+                    jnp.float32),
+        jnp.asarray(env.disk.r_out if env.disk is not None else 0.0,
+                    jnp.float32),
+        jnp.asarray(0.0 if env.spin is None else env.spin, jnp.float32),
+    ]).reshape(1, NSCAL)
+
+    n_sph = 0 if env.spheres is None else int(env.spheres.center.shape[0])
+    if n_sph:
+        sph = jnp.concatenate(
+            [jnp.asarray(env.spheres.center, jnp.float32),
+             jnp.asarray(env.spheres.radius, jnp.float32)[:, None]],
+            axis=1)
+    else:
+        sph = jnp.zeros((1, 4), jnp.float32)
+
+    import math
+
+    max_step = cfg.max_step if math.isfinite(cfg.max_step) else 1e30
+    core = _build_dopri(cfg.n_steps, env.disk is not None, n_sph, sub,
+                        interpret, env.spin is not None,
+                        float(cfg.rtol), float(cfg.atol),
+                        float(cfg.min_step), float(max_step))
+    outs = core(*comps, st0, obj0, scal, sph)
+    ox0, ox1, ox2, op0, op1, op2, olam, ost, oobj = outs
+    if reorder:
+        (ox0, ox1, ox2, op0, op1, op2, olam, ost, oobj) = (
+            o[inv_order]
+            for o in (ox0, ox1, ox2, op0, op1, op2, olam, ost, oobj))
+
+    x = jnp.stack([ox0.reshape(-1)[:n], ox1.reshape(-1)[:n],
+                   ox2.reshape(-1)[:n]], axis=-1)
+    p = jnp.stack([op0.reshape(-1)[:n], op1.reshape(-1)[:n],
+                   op2.reshape(-1)[:n]], axis=-1)
+    return states.RayState(
+        x=x, p=p, E=s0.E, lam=olam.reshape(-1)[:n],
+        status=ost.reshape(-1)[:n], hit_obj=oobj.reshape(-1)[:n])
 
 
 def _step_adjoint_free(xp, status, scal, g6, *, kerr, power, enabled):

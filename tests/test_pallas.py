@@ -151,3 +151,66 @@ def test_kerr_forward_parity_and_adjoint():
     g_pal = jax.grad(lambda *a_: loss(*a_, pallas=True), argnums=(0, 1))(m, a)
     for r, p in zip(g_ref, g_pal):
         np.testing.assert_allclose(np.asarray(p), np.asarray(r), rtol=2e-4)
+
+
+def test_dopri_kernel_parity():
+    """The in-kernel adaptive Dormand-Prince forward (integrate_pallas_dopri)
+    must reproduce the XLA while-loop adaptive path trip for trip: same
+    tableau, same 0.2-power controller, same event handling -- statuses
+    identical and final states f32-close, for the event-free Schwarzschild
+    config, the full event machinery (disk + sphere), and Kerr."""
+    from blackhole_geodesic_calculator_tpu.ops.integrate import (
+        integrate_adaptive,
+    )
+    from blackhole_geodesic_calculator_tpu.ops.pallas_kernel import (
+        integrate_pallas_dopri,
+    )
+
+    cfg = IntegratorConfig(n_steps=400, dt=0.05, method="dopri",
+                           mode="while", rtol=1e-5, atol=1e-8, max_step=4.0)
+    x0, d0 = rays(900, seed=11)
+
+    for name, env in (
+        ("schw", GeodesicEnv(mass=jnp.asarray(0.5), r_capture=1.0,
+                             r_escape=jnp.asarray(60.0),
+                             lam_max=jnp.asarray(70.0))),
+        ("events", make_env(jnp.asarray(0.5))),
+        ("kerr", GeodesicEnv(mass=jnp.asarray(0.5), r_capture=0.95,
+                             r_escape=jnp.asarray(60.0),
+                             lam_max=jnp.asarray(70.0),
+                             spin=jnp.asarray(0.45))),
+    ):
+        p0, E0 = null_init(x0, d0, env.mass, env.spin)
+        s0 = states.init_state(x0, p0, E0)
+        ref, _ = integrate_adaptive(env, s0, cfg)
+        out = integrate_pallas_dopri(env, s0, cfg, interpret=True)
+        st_r = np.asarray(ref.status)
+        st_p = np.asarray(out.status)
+        agree = (st_r == st_p).mean()
+        assert agree >= 0.998, f"{name}: status agreement {agree:.4f}"
+        m = st_r == st_p
+        # An f32 rounding flip of ONE accept/reject near a termination
+        # boundary moves the stored endpoint by up to one step along the
+        # SAME trajectory (h <= max_step) -- so the trip-for-trip
+        # invariants are: affine length within one step, and the final
+        # unit DIRECTION (what shading consumes) tightly matched.
+        from blackhole_geodesic_calculator_tpu.ops.integrate import (
+            final_direction,
+        )
+
+        dlam = np.abs(np.asarray(ref.lam) - np.asarray(out.lam))[m].max()
+        assert dlam <= cfg.max_step + 1e-3, f"{name}: max|dlam| {dlam:.3e}"
+        dr = np.asarray(final_direction(env, ref))
+        dp = np.asarray(final_direction(env, out))
+        ang = np.arccos(np.clip((dr * dp).sum(-1), -1.0, 1.0))[m].max()
+        assert ang < 2e-3, f"{name}: max dir err {ang:.3e} rad"
+        if name == "events":
+            assert (st_p == states.DISK).any()
+            assert (st_p == states.OBJECT).any()
+            # event rays freeze AT the interpolated event point: DISK rays
+            # must sit on z = 0 inside the annulus in BOTH paths
+            dd = st_p == states.DISK
+            zd = np.abs(np.asarray(out.x)[dd, 2])
+            rd = np.linalg.norm(np.asarray(out.x)[dd, :2], axis=-1)
+            assert zd.max() < 1e-3
+            assert (rd > 1.9).all() and (rd < 6.1).all()
