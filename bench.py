@@ -340,7 +340,7 @@ def bench_animation(steps, frames=10, size=1024, samples=5):
     from blackhole_geodesic_calculator_tpu import native
     from blackhole_geodesic_calculator_tpu.camera import Camera
     from blackhole_geodesic_calculator_tpu.io_ import write_png
-    from blackhole_geodesic_calculator_tpu.render import render_image
+    from blackhole_geodesic_calculator_tpu.render import render_image_u8
 
     sky = make_sky()
     scene = make_scene("events", sky)
@@ -352,19 +352,29 @@ def bench_animation(steps, frames=10, size=1024, samples=5):
             position=(r * np.sin(phi), 0.0, r * np.cos(phi)),
             euler=(0.0, phi, 0.0), fov=(0.8, 0.8))
 
-    # compile + warm
-    img = render_image(scene, frame_cam(0.0), cfg)
+    # compile + warm (render + on-device quantization fused: the uint8
+    # frame transfer is 4x smaller than f32, which dominates frame time
+    # on tunneled stacks)
+    img = render_image_u8(scene, frame_cam(0.0), cfg)
     jax.block_until_ready(img)
 
     outdir = tempfile.mkdtemp(prefix="bgc_anim_")
     writer = native.FrameWriter(threads=4) if native.available() else None
     t0 = time.perf_counter()
+    # double-buffered: dispatch frame f+1 BEFORE fetching frame f, so the
+    # device renders the next frame while the host pulls this one over the
+    # tunnel (frame time = max(compute, transfer), not the sum)
+    pending = render_image_u8(scene, frame_cam(0.0), cfg)
     for f in range(frames):
-        phi = 2.0 * np.pi * f / max(frames, 1)
-        img = np.asarray(render_image(scene, frame_cam(phi), cfg))
+        nxt = None
+        if f + 1 < frames:
+            phi = 2.0 * np.pi * (f + 1) / max(frames, 1)
+            nxt = render_image_u8(scene, frame_cam(phi), cfg)
+        img = np.asarray(pending)
+        pending = nxt
         path = os.path.join(outdir, f"frame_{f:04d}.png")
         if writer is not None:
-            writer.submit(path, np.clip(img, 0.0, 1.0))
+            writer.submit(path, img)
         else:
             write_png(path, img)
     failures = 0

@@ -63,8 +63,8 @@ def _cmd_render(args):
 def _cmd_animate(args):
     import jax
 
-    from .io_ import build_scene, load_config, tonemap, write_png
-    from .render import render_image
+    from .io_ import build_scene, load_config, write_png
+    from .render import render_image_u8
 
     cfg = load_config(args.config)
     scene, cam, rcfg = build_scene(cfg)
@@ -82,32 +82,45 @@ def _cmd_animate(args):
     except Exception:
         writer = None
 
+    # Frame files are written atomically (tmp + rename, both the native
+    # FrameWriter and write_png), so an existing file is a complete frame
+    # -- a crash mid-write never leaves a truncated PNG that --resume
+    # would treat as done.
+    todo = []
+    for f in range(args.frames):
+        path = args.out_pattern.format(frame=f)
+        if args.resume and os.path.exists(path):
+            print(f"frame {f + 1}/{args.frames} exists, skipping")
+        else:
+            todo.append((f, path))
+
+    def dispatch(f):
+        # orbit in the x-z plane looking at the hole: euler_y = phi turns
+        # the camera's -z axis onto -(sin phi, 0, cos phi); tonemap +
+        # quantize ON DEVICE -- the device->host transfer of a uint8 frame
+        # is 4x smaller than f32, which dominates frame time on tunneled
+        # stacks (see render_image_u8)
+        phi = 2.0 * np.pi * f / args.frames
+        pos = np.asarray(cfg.bh_loc) + r * np.asarray(
+            [np.sin(phi), 0.0, np.cos(phi)])
+        cam_f = dataclasses.replace(
+            cam,
+            position=jax.numpy.asarray(pos, jax.numpy.float32),
+            euler=jax.numpy.asarray([0.0, phi, 0.0], jax.numpy.float32))
+        return render_image_u8(scene, cam_f, rcfg, tonemap=args.tonemap)
+
     render_error = False
     try:
-        for f in range(args.frames):
-            path = args.out_pattern.format(frame=f)
-            # Frame files are written atomically (tmp + rename, both the
-            # native FrameWriter and write_png), so an existing file is a
-            # complete frame -- a crash mid-write never leaves a truncated
-            # PNG that --resume would treat as done.
-            if args.resume and os.path.exists(path):
-                print(f"frame {f + 1}/{args.frames} exists, skipping")
-                continue
-            phi = 2.0 * np.pi * f / args.frames
-            pos = np.asarray(cfg.bh_loc) + r * np.asarray(
-                [np.sin(phi), 0.0, np.cos(phi)])
-            # orbit in the x-z plane looking at the hole: euler_y = phi turns
-            # the camera's -z axis onto -(sin phi, 0, cos phi)
-            cam_f = dataclasses.replace(
-                cam,
-                position=jax.numpy.asarray(pos, jax.numpy.float32),
-                euler=jax.numpy.asarray([0.0, phi, 0.0], jax.numpy.float32))
-            img = np.asarray(render_image(scene, cam_f, rcfg))
-            if args.tonemap:
-                img = np.concatenate(
-                    [tonemap(img[..., :3]), img[..., 3:]], -1)
+        # double-buffered: frame i+1 is dispatched BEFORE frame i is
+        # fetched, so the device renders ahead while the host pulls the
+        # previous frame (frame time = max(compute, transfer), not the sum)
+        pending = dispatch(todo[0][0]) if todo else None
+        for i, (f, path) in enumerate(todo):
+            nxt = dispatch(todo[i + 1][0]) if i + 1 < len(todo) else None
+            img = np.asarray(pending)
+            pending = nxt
             if writer is not None:
-                writer.submit(path, np.clip(img, 0.0, 1.0))
+                writer.submit(path, img)
             else:
                 write_png(path, img)
             print(f"frame {f + 1}/{args.frames} -> {path}")

@@ -138,6 +138,11 @@ def _load():
             ctypes.c_void_p, ctypes.c_char_p, fp, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ]
+        lib.bgc_writer_submit_u8.restype = ctypes.c_int
+        lib.bgc_writer_submit_u8.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, u8p, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+        ]
         lib.bgc_writer_wait.restype = ctypes.c_int
         lib.bgc_writer_wait.argtypes = [ctypes.c_void_p]
         lib.bgc_writer_destroy.restype = None
@@ -380,14 +385,31 @@ class FrameWriter:
             raise RuntimeError("bgc_writer_create failed")
 
     def submit(self, path: str, frame: np.ndarray, srgb: bool = False):
-        arr = np.ascontiguousarray(np.asarray(frame, np.float32))
+        """Queue a frame.  float frames are quantized in the worker; uint8
+        frames (e.g. quantized ON DEVICE by render.render_image_u8 -- a 4x
+        smaller device->host transfer, which dominates animation frame
+        time on tunneled stacks) are encoded as-is (``srgb`` must then be
+        pre-applied)."""
+        arr = np.asarray(frame)
         if arr.ndim != 3 or arr.shape[2] not in (3, 4):
             raise ValueError(f"expected (H, W, 3|4), got {arr.shape}")
         h, w, c = arr.shape
-        rc = self._lib.bgc_writer_submit(
-            self._h, path.encode(),
-            arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            h, w, c, int(srgb))
+        if arr.dtype == np.uint8:
+            if srgb:
+                raise ValueError("srgb tonemapping applies to float frames"
+                                 " only; quantized frames are encoded"
+                                 " as-is")
+            arr = np.ascontiguousarray(arr)
+            rc = self._lib.bgc_writer_submit_u8(
+                self._h, path.encode(),
+                arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                h, w, c)
+        else:
+            arr = np.ascontiguousarray(arr.astype(np.float32, copy=False))
+            rc = self._lib.bgc_writer_submit(
+                self._h, path.encode(),
+                arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                h, w, c, int(srgb))
         if rc != 0:
             raise RuntimeError(f"bgc_writer_submit failed rc={rc}")
 

@@ -130,6 +130,9 @@ typedef struct BgcWriter BgcWriter;
  * immediately; worker threads quantize, encode and write to disk. */
 BgcWriter* bgc_writer_create(int n_threads);
 /* data: (h, w, c) float32 in [0, 1].  Returns 0 if queued. */
+int bgc_writer_submit_u8(BgcWriter* wr, const char* path,
+                         const uint8_t* data, int32_t h, int32_t w,
+                         int32_t c);
 int bgc_writer_submit(BgcWriter* wr, const char* path, const float* data,
                       int32_t h, int32_t w, int32_t c, int32_t srgb);
 /* Block until the queue drains; returns the number of failed writes. */

@@ -23,7 +23,9 @@ namespace {
 
 struct Job {
   std::string path;
-  std::vector<float> data;
+  std::vector<float> data;      /* float path: quantized in the worker */
+  std::vector<uint8_t> data_u8; /* u8 path: device-side quantized frames
+                                   (4x smaller host transfer) */
   int32_t h, w, c, srgb;
 };
 
@@ -56,9 +58,14 @@ struct BgcWriter {
         job = std::move(queue.front());
         queue.pop_front();
       }
-      std::vector<uint8_t> u8((size_t)job.h * job.w * job.c);
-      bgc_quantize(job.data.data(), u8.data(), (int64_t)job.h * job.w, job.c,
-                   job.srgb);
+      std::vector<uint8_t> u8;
+      if (!job.data_u8.empty()) {
+        u8 = std::move(job.data_u8);
+      } else {
+        u8.resize((size_t)job.h * job.w * job.c);
+        bgc_quantize(job.data.data(), u8.data(), (int64_t)job.h * job.w,
+                     job.c, job.srgb);
+      }
       /* Atomic publish: encode to path+".tmp" and rename into place, so a
        * crash/kill mid-write never leaves a truncated frame that a resumed
        * animation (cli animate --resume) would treat as complete. */
@@ -92,6 +99,27 @@ int bgc_writer_submit(BgcWriter* wr, const char* path, const float* data,
   job.w = w;
   job.c = c;
   job.srgb = srgb;
+  {
+    std::lock_guard<std::mutex> lk(wr->mu);
+    if (wr->stopping) return 2;
+    wr->queue.push_back(std::move(job));
+    wr->in_flight += 1;
+  }
+  wr->cv_push.notify_one();
+  return 0;
+}
+
+int bgc_writer_submit_u8(BgcWriter* wr, const char* path,
+                         const uint8_t* data, int32_t h, int32_t w,
+                         int32_t c) {
+  if (!wr || !path || !data || h < 1 || w < 1 || (c != 3 && c != 4)) return 1;
+  Job job;
+  job.path = path;
+  job.data_u8.assign(data, data + (size_t)h * w * c);
+  job.h = h;
+  job.w = w;
+  job.c = c;
+  job.srgb = 0;
   {
     std::lock_guard<std::mutex> lk(wr->mu);
     if (wr->stopping) return 2;

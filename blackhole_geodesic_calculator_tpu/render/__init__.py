@@ -8,6 +8,7 @@ from .renderer import (
     polarization_map,
     polarization_rays,
     render_image,
+    render_image_u8,
     render_sample,
     render_progressive,
     scene_env,
@@ -25,6 +26,7 @@ __all__ = [
     "polarization_map",
     "polarization_rays",
     "render_image",
+    "render_image_u8",
     "render_sample",
     "render_progressive",
     "scene_env",

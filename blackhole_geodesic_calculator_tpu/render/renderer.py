@@ -195,6 +195,36 @@ def render_image(scene: Scene, cam: Camera, cfg: RenderConfig,
     return _render_image_jit(scene, cam, cfg, key)
 
 
+def _quantize_impl(scene: Scene, cam: Camera, cfg: RenderConfig,
+                   key: Array, tonemap: bool, exposure: float) -> Array:
+    img = _render_image_impl(scene, cam, cfg, key)
+    rgb = img[..., :3]
+    if tonemap:
+        rgb = rgb * exposure
+        rgb = rgb / (1.0 + rgb)          # Reinhard (io_.tonemap, on device)
+    img = jnp.concatenate([rgb, img[..., 3:]], axis=-1)
+    return jnp.clip(img * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
+
+
+_quantize_jit = jax.jit(
+    _quantize_impl, static_argnames=("cfg", "tonemap", "exposure"))
+
+
+def render_image_u8(scene: Scene, cam: Camera, cfg: RenderConfig,
+                    key: Array | None = None, tonemap: bool = False,
+                    exposure: float = 1.0) -> Array:
+    """``render_image`` fused with ON-DEVICE tonemap + uint8 quantization
+    -> (H, W, 4) uint8.  For animation pipelines the device->host frame
+    transfer dominates wall time on tunneled/remote stacks (a 1024^2 RGBA
+    f32 frame is 16 MB; measured 731 ms/frame against ~60 ms of device
+    compute); quantizing on device cuts the transfer 4x.  The PNG written
+    from this array is bit-identical to quantizing the float render on the
+    host (same clip/scale/round as io_.write_png)."""
+    if key is None:
+        key = jax.random.PRNGKey(cfg.seed)
+    return _quantize_jit(scene, cam, cfg, key, tonemap, float(exposure))
+
+
 def render_progressive(scene: Scene, cam: Camera, cfg: RenderConfig,
                        key: Array | None = None,
                        row_bands: int = 16) -> Iterator[tuple[int, Array]]:

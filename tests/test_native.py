@@ -330,3 +330,61 @@ def test_adaptive_jax_vs_native_oracle():
     # accepted steps (f32 path runs looser tolerances, so <= ~4x apart)
     mean_native = out["n_steps"].mean()
     assert float(np.asarray(n_acc).mean()) <= 4 * mean_native + 50
+
+
+def test_frame_writer_u8_path(tmp_path):
+    """uint8 frames (device-quantized, 4x smaller transfer) are encoded
+    as-is by the async writer and round-trip exactly; srgb on a u8 frame
+    is rejected (it must be pre-applied on device)."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (12, 16, 4), dtype=np.uint8)
+    with native.FrameWriter(threads=2) as fw:
+        fw.submit(str(tmp_path / "u8.png"), img)
+    back = native.read_png(str(tmp_path / "u8.png"))
+    assert np.array_equal(back, img)
+    with native.FrameWriter(threads=1) as fw:
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            fw.submit(str(tmp_path / "x.png"), img, srgb=True)
+
+
+def test_render_image_u8_matches_host_quantize():
+    """render_image_u8 == host-side quantization of render_image (same
+    clip/scale/round as io_.write_png), tonemap included."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from blackhole_geodesic_calculator_tpu.camera import Camera
+    from blackhole_geodesic_calculator_tpu.ops import IntegratorConfig
+    from blackhole_geodesic_calculator_tpu.render import (
+        RenderConfig, render_image, render_image_u8,
+    )
+    from blackhole_geodesic_calculator_tpu.scene import BlackHole, Scene
+
+    h, w = 16, 32
+    v, u = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    sky = jnp.asarray(np.stack(
+        [2.0 * ((u // 4 + v // 4) % 2), v / h, 0.4 + 0 * u], -1),
+        jnp.float32)  # >1 values exercise the clip and the tonemap
+    scene = Scene(bh=BlackHole.make(mass=0.5), background=sky)
+    cam = Camera.make(position=(0.0, 0.0, 15.0), fov=(0.7, 0.7))
+    cfg = RenderConfig(width=24, height=16,
+                       integrator=IntegratorConfig(n_steps=60, dt=0.2,
+                                                   dt_boost=16.0,
+                                                   dt_boost_r_ref=1.6),
+                       lam_max=50.0)
+    ref = np.asarray(render_image(scene, cam, cfg))
+
+    u8 = np.asarray(render_image_u8(scene, cam, cfg))
+    host = (np.clip(ref, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    assert np.array_equal(u8, host)
+
+    u8t = np.asarray(render_image_u8(scene, cam, cfg, tonemap=True))
+    rgb = ref[..., :3]
+    tm = rgb / (1.0 + rgb)
+    host_t = (np.clip(np.concatenate([tm, ref[..., 3:]], -1), 0.0, 1.0)
+              * 255.0 + 0.5).astype(np.uint8)
+    # device vs host float rounding can land on a quantization boundary
+    assert np.abs(u8t.astype(int) - host_t.astype(int)).max() <= 1
