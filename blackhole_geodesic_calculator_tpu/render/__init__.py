@@ -11,7 +11,9 @@ from .renderer import (
     render_image_u8,
     render_sample,
     render_progressive,
+    render_stokes,
     scene_env,
+    stokes_rays,
 )
 
 __all__ = [
@@ -29,5 +31,7 @@ __all__ = [
     "render_image_u8",
     "render_sample",
     "render_progressive",
+    "render_stokes",
+    "stokes_rays",
     "scene_env",
 ]

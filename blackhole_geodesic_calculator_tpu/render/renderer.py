@@ -195,6 +195,86 @@ def render_image(scene: Scene, cam: Camera, cfg: RenderConfig,
     return _render_image_jit(scene, cam, cfg, key)
 
 
+def stokes_rays(scene: Scene, cam: Camera, cfg: RenderConfig,
+                ys: Array, xs: Array):
+    """Polarized render of the rays through pixels (ys, xs): returns
+    (rgb, Q, U) with rgb of shape ys.shape + (3,) and Stokes Q, U of shape
+    ys.shape -- the render-feature form of the reference's unchecked 'Add
+    polarisation' milestone (reference README.md:217-220).
+
+    Emission model (Disk.pol_frac): disk light is emitted with degree
+    q sin^2(theta_em) (q = pol_frac, theta_em the angle between the photon
+    and the disk normal -- the scattering-atmosphere orientation: zero
+    face-on, maximal edge-on) and E-vector along the projection of the
+    disk normal transverse to the photon.  The E-vector is then parallel-
+    transported along the geodesic to the camera using the exact
+    Schwarzschild plane decomposition (ops/polarization): the component
+    along the conserved orbital-plane normal n = x cross p is carried
+    unchanged, the in-plane transverse component stays in-plane -- no
+    gravitational Faraday rotation in a spherically symmetric spacetime.
+    For Kerr scenes the same decomposition is used as an a -> 0-exact
+    approximation (frame-dragging Faraday rotation, a ~40x-cost per-pixel
+    ODE, is available separately via polarization_map / ops.polarization's
+    transport ODE).  Polarization angles are headless (mod pi), so the
+    camera->scene integration direction is immaterial.
+
+    Q/U convention: measured against the camera's (right, up) image axes,
+    chi = atan2(f.up, f.right), Q = Ip cos 2chi, U = Ip sin 2chi with Ip =
+    degree x disk-pixel luminance.  Sky/objects are unpolarized (Q = U = 0).
+    """
+    from ..camera.pinhole import euler_matrix
+    from ..ops.polarization import _unit, plane_normal
+
+    origin, d = generate_rays(cam, cfg.width, cfg.height, ys, xs, None)
+    env = scene_env(scene, cfg, cam)
+    scene_bh = _bh_frame(scene)
+    o_rel = origin - scene.bh.loc
+
+    s = launch(env, o_rel, d, cfg.integrator)
+    end_dir = final_direction(env, s)
+    rgb = shade(scene_bh, s, end_dir)
+
+    zero = jnp.zeros(rgb.shape[:-1], rgb.dtype)
+    if scene.disk is None or scene.disk.pol_frac is None:
+        return rgb, zero, zero
+
+    is_disk = s.status == states.DISK
+    # photon direction AT the disk crossing (rays freeze at the event
+    # point, so the final unit coordinate velocity is the disk-local one)
+    k_d = end_dir
+    # emitted E-vector: disk-normal projection transverse to the photon;
+    # |f_raw| = sin(theta_em), reused for the emission degree
+    f_raw = jnp.asarray([0.0, 0.0, 1.0]) - k_d * k_d[..., 2:3]
+    sin2 = jnp.sum(f_raw * f_raw, axis=-1)
+    p_eff = scene.disk.pol_frac * sin2
+    f_hat = f_raw / jnp.maximum(jnp.sqrt(sin2), 1e-12)[..., None]
+
+    # exact Schwarzschild transport: coefficients in the (n, e(k)) basis
+    # are invariants of parallel transport along the planar geodesic
+    n = plane_normal(o_rel, d)
+    e_d = _unit(jnp.cross(k_d, n))
+    alpha = jnp.sum(f_hat * n, axis=-1)
+    beta = jnp.sum(f_hat * e_d, axis=-1)
+    e_c = _unit(jnp.cross(d, n))
+    f_obs = alpha[..., None] * n + beta[..., None] * e_c
+
+    rot = euler_matrix(cam.euler)
+    chi = jnp.arctan2(jnp.sum(f_obs * rot[:, 1], axis=-1),
+                      jnp.sum(f_obs * rot[:, 0], axis=-1))
+    lum = jnp.mean(rgb, axis=-1)
+    ip = jnp.where(is_disk, p_eff * lum, 0.0)
+    return rgb, ip * jnp.cos(2.0 * chi), ip * jnp.sin(2.0 * chi)
+
+
+def render_stokes(scene: Scene, cam: Camera, cfg: RenderConfig):
+    """Full-frame polarized render -> (rgb (H, W, 3), Q (H, W), U (H, W))
+    over the crop window (pixel centers, deterministic).  See stokes_rays
+    for the physical model and conventions."""
+    x0, x1, y0, y1 = cfg.crop()
+    ys, xs = pixel_grid(cfg.width, cfg.height, x0, x1, y0, y1)
+    return stokes_rays(scene, cam, cfg, ys, xs)
+
+
 def _quantize_impl(scene: Scene, cam: Camera, cfg: RenderConfig,
                    key: Array, tonemap: bool, exposure: float) -> Array:
     img = _render_image_impl(scene, cam, cfg, key)

@@ -66,15 +66,25 @@ class Disk:
     # (4.0 = bolometric invariant I ~ g^4, 3.0 = photon-count).
     beaming: Any = None
     orbit_dir: Any = None  # +1 prograde (default), -1 retrograde
+    # Intrinsic polarization degree of the disk emission (BEYOND the
+    # reference -- its "Add polarisation" milestone is unchecked, reference
+    # README.md:217-220).  None disables (unpolarized, exact reference
+    # parity).  A number q in [0, 1] gives emitted polarization degree
+    # q sin^2(theta_em) with E-vector along the projection of the disk
+    # normal transverse to the photon (the scattering-atmosphere
+    # orientation; zero face-on, maximal edge-on).  Consumed by
+    # render.render_stokes.
+    pol_frac: Any = None
 
     @classmethod
     def make(cls, r_in, r_out, texture, phase=0.0, mean=0.5, stddev=0.2,
-             intensity=1.0, beaming=None, orbit_dir=1.0):
+             intensity=1.0, beaming=None, orbit_dir=1.0, pol_frac=None):
         return cls(r_in=_f(r_in), r_out=_f(r_out), phase=_f(phase),
                    mean=_f(mean), stddev=_f(stddev), intensity=_f(intensity),
                    texture=_f(texture),
                    beaming=None if beaming is None else _f(beaming),
-                   orbit_dir=_f(orbit_dir))
+                   orbit_dir=_f(orbit_dir),
+                   pol_frac=None if pol_frac is None else _f(pol_frac))
 
 
 @jax.tree_util.register_dataclass
