@@ -142,6 +142,15 @@ def _sample_bpy_fwd(tex, x, y):
 
 
 def _sample_bpy_bwd(res, g):
+    # Measured note (v5e, 1024^2 flagship): the dtex scatter below costs
+    # ~17 ms INSIDE the full render backward (35% of the step) although the
+    # identical scatter measures 0.05 ms standalone at the same shapes,
+    # index distribution and duplication -- the cost is the surrounding
+    # graph (layout/scheduling interaction on this stack), not the
+    # algorithm.  Alternatives measured in situ: optimization_barrier'd
+    # flat branch 51.0 ms (vs 51.8 baseline), sort+cumsum segment reduction
+    # 71.4 ms (worse).  Kept as the best-known formulation; grads w.r.t.
+    # ONLY non-texture params run at 33.6 ms because XLA DCEs this branch.
     tex, c00, c01, c10, c11, tx, ty, y0u, xi0 = res
     h, w, c = tex.shape
     dtype = tex.dtype
