@@ -22,4 +22,4 @@ if _os.environ.get("JAX_PLATFORMS") == "cpu":
 
 from . import models, ops, scene, camera, render, parallel, utils
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"

@@ -58,6 +58,9 @@ class SceneConfig:
     # orbit direction (+1 prograde / -1 retrograde); beyond-reference physics
     disk_beaming: float = 0.0
     disk_orbit_dir: float = 1.0
+    # intrinsic polarization degree of the disk emission (0 = off); feeds
+    # render.render_stokes (Stokes I/Q/U output)
+    disk_pol_frac: float = 0.0
     # Kerr spin (Gen-3 'a', RelativisticRenderEngineCamEdition.py:210)
     spin: float = 0.0
 
@@ -145,7 +148,8 @@ def build_scene(cfg: SceneConfig) -> tuple[Scene, Camera, RenderConfig]:
             phase=cfg.disk_phase, mean=cfg.disk_mean,
             stddev=cfg.disk_stddev, intensity=cfg.disk_intensity,
             beaming=cfg.disk_beaming if cfg.disk_beaming else None,
-            orbit_dir=cfg.disk_orbit_dir)
+            orbit_dir=cfg.disk_orbit_dir,
+            pol_frac=cfg.disk_pol_frac if cfg.disk_pol_frac else None)
 
     spheres = None
     if cfg.spheres:
