@@ -236,3 +236,28 @@ def test_collective_report_no_collectives():
     assert rep["collective_ms"] == 0
     assert rep["collective_share"] == 0
     assert math.isnan(rep["overlap_fraction"])
+
+
+def test_packaging_metadata():
+    """pyproject.toml stays consistent with the package: the console entry
+    point resolves to a callable and the self-building native sources are
+    declared as package data (the wheel must carry them -- the .so is
+    built on first import, native/__init__.py)."""
+    import importlib
+    import tomllib
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    meta = tomllib.loads((root / "pyproject.toml").read_text())
+
+    import blackhole_geodesic_calculator_tpu as pkg
+    assert meta["project"]["version"] == pkg.__version__
+
+    mod_fn = meta["project"]["scripts"]["bhgc-tpu"]
+    mod, fn = mod_fn.split(":")
+    assert callable(getattr(importlib.import_module(mod), fn))
+
+    data = meta["tool"]["setuptools"]["package-data"][
+        "blackhole_geodesic_calculator_tpu.native"]
+    assert "src/*.cpp" in data and "Makefile" in data
+    assert (root / "blackhole_geodesic_calculator_tpu/native/src/geodesic.cpp").exists()
