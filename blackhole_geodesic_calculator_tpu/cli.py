@@ -46,13 +46,33 @@ def _cmd_render(args):
         print(json.dumps(st, indent=2))
 
     t0 = time.perf_counter()
-    img = None
-    unit = "sample" if rcfg.samples > 1 else "band"
-    for i, frame in render_progressive(scene, cam, rcfg):
-        img = frame
-        if args.verbose:
-            print(f"{unit} {i + 1} ({time.perf_counter() - t0:.1f}s)")
-    img = np.asarray(jax.block_until_ready(img))
+    if args.stokes:
+        # Polarized rendering: Stokes I/Q/U (render.render_stokes; needs a
+        # disk with pol_frac, e.g. SceneConfig.disk_pol_frac > 0).  The RGB
+        # image goes to --out as usual; the raw Stokes planes (science
+        # data: float Q/U in camera axes + I luminance) to a sibling npz,
+        # plus a quick-look polarized-fraction PNG sqrt(Q^2+U^2)/I.
+        from .render import render_stokes
+
+        rgb, Q, U = [np.asarray(a) for a in jax.block_until_ready(
+            render_stokes(scene, cam, rcfg))]
+        I = rgb.mean(-1)
+        base = os.path.splitext(args.out)[0]
+        np.savez(base + "_stokes.npz", rgb=rgb, I=I, Q=Q, U=U)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            pfrac = np.where(I > 0, np.hypot(Q, U) / np.maximum(I, 1e-20), 0.0)
+        write_png(base + "_pfrac.png",
+                  np.clip(pfrac, 0.0, 1.0)[..., None].repeat(3, -1))
+        img = np.concatenate([rgb, np.ones_like(rgb[..., :1])], -1)
+        print(f"wrote {base}_stokes.npz (I/Q/U) and {base}_pfrac.png")
+    else:
+        img = None
+        unit = "sample" if rcfg.samples > 1 else "band"
+        for i, frame in render_progressive(scene, cam, rcfg):
+            img = frame
+            if args.verbose:
+                print(f"{unit} {i + 1} ({time.perf_counter() - t0:.1f}s)")
+        img = np.asarray(jax.block_until_ready(img))
     if args.tonemap:
         img = np.concatenate([tonemap(img[..., :3]), img[..., 3:]], -1)
     write_png(args.out, img)
@@ -280,6 +300,10 @@ def main(argv=None):
     p.add_argument("--width", type=int, default=0)
     p.add_argument("--height", type=int, default=0)
     p.add_argument("--tonemap", action="store_true")
+    p.add_argument("--stokes", action="store_true",
+                   help="polarized rendering: write Stokes I/Q/U planes to "
+                   "<out>_stokes.npz + a polarized-fraction quick-look PNG "
+                   "(requires disk_pol_frac > 0 in the config)")
     p.add_argument("-v", "--verbose", action="store_true")
     p.set_defaults(fn=_cmd_render)
 

@@ -261,3 +261,29 @@ def test_packaging_metadata():
         "blackhole_geodesic_calculator_tpu.native"]
     assert "src/*.cpp" in data and "Makefile" in data
     assert (root / "blackhole_geodesic_calculator_tpu/native/src/geodesic.cpp").exists()
+
+
+def test_cli_render_stokes(tmp_path):
+    """`render --stokes` on a polarized-disk config writes the Stokes npz
+    (nonzero Q/U on disk pixels) and the polarized-fraction quick-look,
+    wiring SceneConfig.disk_pol_frac end to end."""
+    from blackhole_geodesic_calculator_tpu.cli import main
+
+    cfg = SceneConfig(width=24, height=20, n_steps=96,
+                      max_integration_step=0.2,
+                      disk_on=True, disk_pol_frac=0.5,
+                      camera_rotation_euler=(0.35, 0.0, 0.0))
+    cp = str(tmp_path / "scene.json")
+    with open(cp, "w") as f:
+        f.write(cfg.to_json())
+    out = str(tmp_path / "pol.png")
+    main(["render", cp, "-o", out, "--stokes"])
+    assert os.path.exists(out)
+    with np.load(str(tmp_path / "pol_stokes.npz")) as z:
+        Q, U, I = z["Q"], z["U"], z["I"]
+    assert Q.shape == (20, 24) and np.isfinite(Q).all() and np.isfinite(U).all()
+    assert np.abs(Q).max() + np.abs(U).max() > 0  # disk pixels polarized
+    # polarized intensity bounded by pol_frac * I
+    assert (np.hypot(Q, U) <= 0.5 * I + 1e-6).all()
+    pf = read_image(str(tmp_path / "pol_pfrac.png"))
+    assert pf.shape == (20, 24, 3)
