@@ -63,7 +63,13 @@ def _cmd_render(args):
             pfrac = np.where(I > 0, np.hypot(Q, U) / np.maximum(I, 1e-20), 0.0)
         write_png(base + "_pfrac.png",
                   np.clip(pfrac, 0.0, 1.0)[..., None].repeat(3, -1))
-        img = np.concatenate([rgb, np.ones_like(rgb[..., :1])], -1)
+        # render_stokes returns crop-window-shaped planes; embed the RGB
+        # into the full ones-initialized frame at the crop offsets so the
+        # --out PNG follows the same convention as the non-stokes path
+        # (white border, full width x height).
+        x0, x1, y0, y1 = rcfg.crop()
+        img = np.ones((rcfg.height, rcfg.width, 4), rgb.dtype)
+        img[y0:y1, x0:x1, :3] = rgb
         print(f"wrote {base}_stokes.npz (I/Q/U) and {base}_pfrac.png")
     else:
         img = None

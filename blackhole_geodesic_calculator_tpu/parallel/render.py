@@ -27,7 +27,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..camera.pinhole import Camera
 from ..render.renderer import RenderConfig, render_rays
@@ -75,7 +75,7 @@ def _sharded_render_fn(mesh: Mesh, cfg: RenderConfig, multisample: bool):
         local, mesh=mesh,
         in_specs=(P(), P(), P(SAMPLE_AXIS), P(RAY_AXIS), P(RAY_AXIS)),
         out_specs=P(RAY_AXIS),
-        check_rep=False,
+        check_vma=False,
     ))
 
 
@@ -131,6 +131,58 @@ def render_image_sharded(
     return _assemble_fn(mesh, cfg)(rgb, put_global(perm, repl))
 
 
+def render_stokes_sharded(
+    scene: Scene,
+    cam: Camera,
+    cfg: RenderConfig,
+    mesh: Mesh | None = None,
+):
+    """Polarized (Stokes) render sharded over the ``rays`` mesh axis -- the
+    multi-device form of ``render.render_stokes``, sharing its physical
+    model and conventions (renderer.stokes_rays) and this module's
+    round-robin load-balancing deal.  Same rays and integrator as the
+    single-device path (deterministic pixel-center rays, no jitter); agrees
+    to f32 compilation noise -- per-shard fusion differences can amplify on
+    near-critical rays.  Returns
+    (rgb (Hc, Wc, 3), Q (Hc, Wc), U (Hc, Wc)) over the crop window,
+    replicated on every device/host."""
+    from ..render.renderer import stokes_rays
+
+    if mesh is None:
+        mesh = make_mesh()
+    n_ray = mesh.shape[RAY_AXIS]
+
+    ys, xs, perm, _ = _flat_pixels(cfg, n_ray)
+    shard = NamedSharding(mesh, P(RAY_AXIS))
+    repl = NamedSharding(mesh, P())
+    ys = put_global(ys, shard)
+    xs = put_global(xs, shard)
+    scene = put_global(scene, repl)
+    cam = put_global(cam, repl)
+
+    local = jax.jit(shard_map(
+        lambda sc, c, ys_, xs_: stokes_rays(sc, c, cfg, ys_, xs_),
+        mesh=mesh,
+        in_specs=(P(), P(), P(RAY_AXIS), P(RAY_AXIS)),
+        out_specs=(P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS)),
+        check_vma=False,
+    ))
+    rgb, q, u = local(scene, cam, ys, xs)
+
+    x0, x1, y0, y1 = cfg.crop()
+    hc, wc = y1 - y0, x1 - x0
+
+    def assemble(rgb, q, u, perm):
+        rgb_f = jnp.zeros((hc * wc, 3), rgb.dtype).at[perm].set(rgb)
+        q_f = jnp.zeros((hc * wc,), q.dtype).at[perm].set(q)
+        u_f = jnp.zeros((hc * wc,), u.dtype).at[perm].set(u)
+        return (rgb_f.reshape(hc, wc, 3), q_f.reshape(hc, wc),
+                u_f.reshape(hc, wc))
+
+    return jax.jit(assemble, out_shardings=(repl, repl, repl))(
+        rgb, q, u, put_global(perm, repl))
+
+
 def polarization_map_sharded(
     scene: Scene,
     cam: Camera,
@@ -162,7 +214,7 @@ def polarization_map_sharded(
         mesh=mesh,
         in_specs=(P(), P(), P(RAY_AXIS), P(RAY_AXIS)),
         out_specs=P(RAY_AXIS),
-        check_rep=False,
+        check_vma=False,
     ))
     ang = local(scene, cam, ys, xs)
 

@@ -98,7 +98,7 @@ class Trainer:
             )
         self._shard = NamedSharding(self.mesh, P(RAY_AXIS))
         self._repl = NamedSharding(self.mesh, P())
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         # Explicit SPMD: each device renders/differentiates its local ray
         # and sample shard, then parameter gradients (replicated pytree)
@@ -113,7 +113,7 @@ class Trainer:
             in_specs=(P(), P(), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS),
                       P(SAMPLE_AXIS)),
             out_specs=(P(), P(), P()),
-            check_rep=False,
+            check_vma=False,
         ))
         if self.frame_param_fn is not None:
             self._jit_step_frame = jax.jit(shard_map(
@@ -121,7 +121,7 @@ class Trainer:
                 in_specs=(P(), P(), P(), P(RAY_AXIS), P(RAY_AXIS),
                           P(RAY_AXIS), P(SAMPLE_AXIS)),
                 out_specs=(P(), P(), P()),
-                check_rep=False,
+                check_vma=False,
             ))
 
     def init(self, params):

@@ -305,6 +305,14 @@ def render_image_u8(scene: Scene, cam: Camera, cfg: RenderConfig,
     return _quantize_jit(scene, cam, cfg, key, tonemap, float(exposure))
 
 
+# Module-level jitted band/sample renderers for render_progressive: building
+# fresh jax.jit wrappers per invocation would re-TRACE every call (the
+# persistent cache only saves compiles), so warm progressive render loops
+# would pay a full retrace per frame.
+_progressive_rays_jit = jax.jit(render_rays, static_argnames=("cfg",))
+_progressive_sample_jit = jax.jit(render_sample, static_argnames=("cfg",))
+
+
 def render_progressive(scene: Scene, cam: Camera, cfg: RenderConfig,
                        key: Array | None = None,
                        row_bands: int = 16) -> Iterator[tuple[int, Array]]:
@@ -329,7 +337,7 @@ def render_progressive(scene: Scene, cam: Camera, cfg: RenderConfig,
     if cfg.samples == 1:
         n_rows = y1 - y0
         band = max(1, -(-n_rows // max(1, min(row_bands, n_rows))))
-        jit_rays = jax.jit(render_rays, static_argnames=("cfg",))
+        jit_rays = _progressive_rays_jit
         full = jnp.ones((cfg.height, cfg.width, 4), jnp.float32)
         i = 0
         yb = y0
@@ -351,7 +359,7 @@ def render_progressive(scene: Scene, cam: Camera, cfg: RenderConfig,
             yb += take
         return
 
-    jit_sample = jax.jit(render_sample, static_argnames=("cfg",))
+    jit_sample = _progressive_sample_jit
     keys = jax.random.split(key, cfg.samples)
     acc = None
     for i in range(cfg.samples):

@@ -196,8 +196,8 @@ def test_collective_report_sharded_step():
     overlap fraction (the measured form of BASELINE config 5's
     'all-reduce overlapped with backward' claim)."""
     import jax
+    from jax import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
 
     from blackhole_geodesic_calculator_tpu.utils.profiling import (
         profile_collectives,

@@ -175,3 +175,63 @@ def test_trainer_orbit_fit_camera_and_mass():
     assert abs(float(params["mass"]) - 0.5) < 0.01
     assert abs(float(params["dphi"])) < 0.005
     assert abs(float(params["de2"])) < 0.005
+
+
+def test_stokes_sharded_matches_single_device():
+    """Pixel-exact parity of the sharded polarized render: rgb/Q/U from
+    render_stokes_sharded on the 8-device mesh equal render_stokes on one
+    device (deterministic pixel-center rays; the round-robin deal and the
+    scatter-back must be transparent)."""
+    from blackhole_geodesic_calculator_tpu.parallel import (
+        render_stokes_sharded,
+    )
+    from blackhole_geodesic_calculator_tpu.render import render_stokes
+    from blackhole_geodesic_calculator_tpu.scene import BlackHole, Disk
+
+    disk_tex = jnp.broadcast_to(
+        jnp.asarray([1.0, 0.6, 0.2], jnp.float32), (8, 32, 3))
+    scene = Scene(bh=BlackHole.make(mass=0.5), background=sky(),
+                  disk=Disk.make(r_in=2.0, r_out=6.0, texture=disk_tex,
+                                 pol_frac=0.5))
+    cam = Camera.make(position=(0.0, 10.0, 17.0), euler=(-0.53, 0.0, 0.0),
+                      fov=(0.8, 0.8))
+    cfg = dataclasses.replace(CFG, width=40, height=32, lam_max=80.0)
+
+    ref = [np.asarray(a) for a in render_stokes(scene, cam, cfg)]
+    out = [np.asarray(a) for a in
+           render_stokes_sharded(scene, cam, cfg, make_mesh())]
+    # same rays, same integrator; the tolerance allows for per-shard XLA
+    # fusion/reassociation differences (1-ulp class) amplified by rays near
+    # the critical curve over hundreds of steps
+    for r, o in zip(ref, out):
+        assert r.shape == o.shape
+        np.testing.assert_allclose(o, r, rtol=0.0, atol=2e-3)
+    assert (np.hypot(ref[1], ref[2]) > 1e-6).any(), "no polarized pixels"
+
+
+def test_stokes_sharded_crop_window():
+    """The sharded Stokes render honors the mark_* crop window (crop-shaped
+    planes, same values as the single-device crop render)."""
+    from blackhole_geodesic_calculator_tpu.parallel import (
+        render_stokes_sharded,
+    )
+    from blackhole_geodesic_calculator_tpu.render import render_stokes
+    from blackhole_geodesic_calculator_tpu.scene import BlackHole, Disk
+
+    disk_tex = jnp.broadcast_to(
+        jnp.asarray([1.0, 0.6, 0.2], jnp.float32), (8, 32, 3))
+    scene = Scene(bh=BlackHole.make(mass=0.5), background=sky(),
+                  disk=Disk.make(r_in=2.0, r_out=6.0, texture=disk_tex,
+                                 pol_frac=0.5))
+    cam = Camera.make(position=(0.0, 10.0, 17.0), euler=(-0.53, 0.0, 0.0),
+                      fov=(0.8, 0.8))
+    cfg = dataclasses.replace(CFG, width=40, height=32, lam_max=80.0,
+                              mark_x_min=5, mark_x_max=30,
+                              mark_y_min=4, mark_y_max=21)
+
+    ref = [np.asarray(a) for a in render_stokes(scene, cam, cfg)]
+    out = [np.asarray(a) for a in
+           render_stokes_sharded(scene, cam, cfg, make_mesh())]
+    assert out[0].shape == (18, 26, 3)
+    for r, o in zip(ref, out):
+        np.testing.assert_allclose(o, r, rtol=0.0, atol=2e-3)
