@@ -99,6 +99,9 @@ class SceneConfig:
 
     @classmethod
     def from_dict(cls, d: dict) -> "SceneConfig":
+        # '__'-prefixed keys are annotations (JSON has no comments; the
+        # shipped examples/ configs document themselves via '__comment')
+        d = {k: v for k, v in d.items() if not k.startswith("__")}
         known = {f.name for f in dataclasses.fields(cls)}
         unknown = set(d) - known
         if unknown:

@@ -42,6 +42,11 @@ def _flat_pixels(cfg: RenderConfig, n_shards: int):
     and padded so every shard gets the same count.  Returns (ys, xs, perm,
     n_valid) -- ``perm[i]`` is the flat crop-pixel index that ray slot i
     serves, so colors scatter back with ``out.at[perm].set(rgb)``."""
+    return _flat_pixels_cached(cfg, n_shards)
+
+
+@functools.lru_cache(maxsize=64)
+def _flat_pixels_cached(cfg: RenderConfig, n_shards: int):
     x0, x1, y0, y1 = cfg.crop()
     hc, wc = y1 - y0, x1 - x0
     n = hc * wc
@@ -59,8 +64,58 @@ def _flat_pixels(cfg: RenderConfig, n_shards: int):
 
 
 @functools.lru_cache(maxsize=64)
+def _inv_perm(cfg: RenderConfig, n_shards: int):
+    """Static inverse of the round-robin deal: ``inv[pixel]`` is the ray
+    slot that serves flat crop pixel ``pixel``.  Computed on the host so
+    framebuffer assembly is a GATHER ``out = rgb[inv]`` -- on TPU an
+    arbitrary-index scatter ``zeros.at[perm].set(rgb)`` runs on the slow
+    serial scatter unit (measured 41 ms for a 1024^2 frame, 3x the render
+    itself), while the equivalent gather vectorizes (<1 ms).  Padding slots
+    re-trace pixel 0, so duplicate writes during inversion are benign (all
+    candidates hold pixel 0's color)."""
+    import numpy as np
+
+    x0, x1, y0, y1 = cfg.crop()
+    n = (y1 - y0) * (x1 - x0)
+    pad = (-n) % n_shards
+    total = n + pad
+    slot = np.arange(total)
+    per = total // n_shards
+    perm = (slot % per) * n_shards + slot // per
+    perm = np.where(perm < n, perm, 0)
+    inv = np.zeros(n, np.int32)
+    inv[perm] = slot
+    return inv
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_pixels(mesh: Mesh, cfg: RenderConfig):
+    """Device-resident sharded pixel plumbing, cached per (mesh, cfg):
+    (ys, xs) sharded over the ray axis and the replicated gather-back
+    ``inv`` (see _inv_perm).  The grids are deterministic functions of the
+    static config, so warm render/train loops skip the per-call
+    host->device puts and the index math entirely -- without this, dispatch
+    of the ~ms-scale sharded render is serialized behind ~10 host ops per
+    frame."""
+    n_ray = mesh.shape[RAY_AXIS]
+    ys, xs, _, _ = _flat_pixels(cfg, n_ray)
+    shard = NamedSharding(mesh, P(RAY_AXIS))
+    repl = NamedSharding(mesh, P())
+    return (put_global(ys, shard), put_global(xs, shard),
+            put_global(jnp.asarray(_inv_perm(cfg, n_ray)), repl))
+
+
+@functools.lru_cache(maxsize=64)
 def _sharded_render_fn(mesh: Mesh, cfg: RenderConfig, multisample: bool):
-    """Build the shard_map'd per-device render program."""
+    """Build the shard_map'd per-device render program WITH the framebuffer
+    assembly fused in (one jit, one dispatch per frame -- host dispatch over
+    a tunneled stack costs ~2 ms each, so separate render/assemble calls
+    would serialize ~6 ms of host time into every frame).  The replicated
+    output sharding makes XLA all-gather the ray shards into the full frame
+    on every device/host (the multi-host counterpart of the reference's
+    update_result flush, RelativisticRenderEngine.py:162)."""
+    x0, x1, y0, y1 = cfg.crop()
+    hc, wc = y1 - y0, x1 - x0
 
     def local(scene, cam, keys, ys, xs):
         if not multisample:
@@ -71,12 +126,21 @@ def _sharded_render_fn(mesh: Mesh, cfg: RenderConfig, multisample: bool):
         )
         return jax.lax.pmean(rgb, SAMPLE_AXIS)
 
-    return jax.jit(shard_map(
+    local_sm = shard_map(
         local, mesh=mesh,
         in_specs=(P(), P(), P(SAMPLE_AXIS), P(RAY_AXIS), P(RAY_AXIS)),
         out_specs=P(RAY_AXIS),
         check_vma=False,
-    ))
+    )
+
+    def full(scene, cam, keys, ys, xs, inv):
+        rgb = local_sm(scene, cam, keys, ys, xs)
+        # gather-back (see _inv_perm: the equivalent at[perm].set scatter
+        # costs 41 ms on TPU for a 1024^2 frame; the gather is <1 ms)
+        frame = jnp.ones((cfg.height, cfg.width, 4), rgb.dtype)
+        return frame.at[y0:y1, x0:x1, :3].set(rgb[inv].reshape(hc, wc, 3))
+
+    return jax.jit(full, out_shardings=NamedSharding(mesh, P()))
 
 
 def render_image_sharded(
@@ -102,11 +166,8 @@ def render_image_sharded(
             f"'{SAMPLE_AXIS}' extent {n_smp}"
         )
 
-    ys, xs, perm, _ = _flat_pixels(cfg, n_ray)
-    shard = NamedSharding(mesh, P(RAY_AXIS))
+    ys, xs, inv = _sharded_pixels(mesh, cfg)
     repl = NamedSharding(mesh, P())
-    ys = put_global(ys, shard)
-    xs = put_global(xs, shard)
     scene = put_global(scene, repl)
     cam = put_global(cam, repl)
 
@@ -125,10 +186,8 @@ def render_image_sharded(
             NamedSharding(mesh, P(SAMPLE_AXIS)),
         )
 
-    fn = _sharded_render_fn(mesh, cfg, multisample)
-    rgb = fn(scene, cam, keys, ys, xs)
-
-    return _assemble_fn(mesh, cfg)(rgb, put_global(perm, repl))
+    return _sharded_render_fn(mesh, cfg, multisample)(
+        scene, cam, keys, ys, xs, inv)
 
 
 def render_stokes_sharded(
@@ -146,41 +205,38 @@ def render_stokes_sharded(
     near-critical rays.  Returns
     (rgb (Hc, Wc, 3), Q (Hc, Wc), U (Hc, Wc)) over the crop window,
     replicated on every device/host."""
-    from ..render.renderer import stokes_rays
-
     if mesh is None:
         mesh = make_mesh()
-    n_ray = mesh.shape[RAY_AXIS]
-
-    ys, xs, perm, _ = _flat_pixels(cfg, n_ray)
-    shard = NamedSharding(mesh, P(RAY_AXIS))
+    ys, xs, inv = _sharded_pixels(mesh, cfg)
     repl = NamedSharding(mesh, P())
-    ys = put_global(ys, shard)
-    xs = put_global(xs, shard)
-    scene = put_global(scene, repl)
-    cam = put_global(cam, repl)
+    return _sharded_stokes_fn(mesh, cfg)(
+        put_global(scene, repl), put_global(cam, repl), ys, xs, inv)
 
-    local = jax.jit(shard_map(
+
+@functools.lru_cache(maxsize=64)
+def _sharded_stokes_fn(mesh: Mesh, cfg: RenderConfig):
+    """Cached fused shard_map + gather-back assembly for the Stokes render
+    (one jit, one dispatch; see _sharded_render_fn)."""
+    from ..render.renderer import stokes_rays
+
+    x0, x1, y0, y1 = cfg.crop()
+    hc, wc = y1 - y0, x1 - x0
+    local_sm = shard_map(
         lambda sc, c, ys_, xs_: stokes_rays(sc, c, cfg, ys_, xs_),
         mesh=mesh,
         in_specs=(P(), P(), P(RAY_AXIS), P(RAY_AXIS)),
         out_specs=(P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS)),
         check_vma=False,
-    ))
-    rgb, q, u = local(scene, cam, ys, xs)
+    )
 
-    x0, x1, y0, y1 = cfg.crop()
-    hc, wc = y1 - y0, x1 - x0
+    def full(scene, cam, ys, xs, inv):
+        rgb, q, u = local_sm(scene, cam, ys, xs)
+        # gather-back (see _inv_perm: scatter would serialize on TPU)
+        return (rgb[inv].reshape(hc, wc, 3), q[inv].reshape(hc, wc),
+                u[inv].reshape(hc, wc))
 
-    def assemble(rgb, q, u, perm):
-        rgb_f = jnp.zeros((hc * wc, 3), rgb.dtype).at[perm].set(rgb)
-        q_f = jnp.zeros((hc * wc,), q.dtype).at[perm].set(q)
-        u_f = jnp.zeros((hc * wc,), u.dtype).at[perm].set(u)
-        return (rgb_f.reshape(hc, wc, 3), q_f.reshape(hc, wc),
-                u_f.reshape(hc, wc))
-
-    return jax.jit(assemble, out_shardings=(repl, repl, repl))(
-        rgb, q, u, put_global(perm, repl))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(full, out_shardings=(repl, repl, repl))
 
 
 def polarization_map_sharded(
@@ -195,55 +251,32 @@ def polarization_map_sharded(
     is ~40x the render path's flops; see renderer.polarization_rays).
     Pixel-exact with the single-device map (deterministic, no jitter).
     Returns (Hc, Wc) with NaN at captured/error pixels."""
-    from ..render.renderer import polarization_rays
-
     if mesh is None:
         mesh = make_mesh()
-    n_ray = mesh.shape[RAY_AXIS]
-
-    ys, xs, perm, _ = _flat_pixels(cfg, n_ray)
-    shard = NamedSharding(mesh, P(RAY_AXIS))
+    ys, xs, inv = _sharded_pixels(mesh, cfg)
     repl = NamedSharding(mesh, P())
-    ys = put_global(ys, shard)
-    xs = put_global(xs, shard)
-    scene = put_global(scene, repl)
-    cam = put_global(cam, repl)
+    return _sharded_polarization_fn(mesh, cfg)(
+        put_global(scene, repl), put_global(cam, repl), ys, xs, inv)
 
-    local = jax.jit(shard_map(
+
+@functools.lru_cache(maxsize=64)
+def _sharded_polarization_fn(mesh: Mesh, cfg: RenderConfig):
+    """Cached fused shard_map + gather-back assembly for the polarization
+    map (one jit, one dispatch; see _sharded_render_fn)."""
+    from ..render.renderer import polarization_rays
+
+    x0, x1, y0, y1 = cfg.crop()
+    hc, wc = y1 - y0, x1 - x0
+    local_sm = shard_map(
         lambda sc, c, ys_, xs_: polarization_rays(sc, c, cfg, ys_, xs_),
         mesh=mesh,
         in_specs=(P(), P(), P(RAY_AXIS), P(RAY_AXIS)),
         out_specs=P(RAY_AXIS),
         check_vma=False,
-    ))
-    ang = local(scene, cam, ys, xs)
+    )
 
-    x0, x1, y0, y1 = cfg.crop()
-    hc, wc = y1 - y0, x1 - x0
+    def full(scene, cam, ys, xs, inv):
+        # gather-back (see _inv_perm); NaN masking lives in ang itself
+        return local_sm(scene, cam, ys, xs)[inv].reshape(hc, wc)
 
-    def assemble(ang, perm):
-        return jnp.full((hc * wc,), jnp.nan, ang.dtype).at[perm].set(
-            ang).reshape(hc, wc)
-
-    return jax.jit(assemble, out_shardings=repl)(ang, put_global(perm, repl))
-
-
-@functools.lru_cache(maxsize=64)
-def _assemble_fn(mesh: Mesh, cfg: RenderConfig):
-    """Framebuffer assembly (the reference's progressive buffer write,
-    RelativisticRenderEngine.py:162): unpermute and fill the frame.  Jitted
-    with a REPLICATED output so it works when the mesh spans processes --
-    XLA inserts the all-gather and every host ends up with the full frame
-    (the multi-host counterpart of the reference's update_result flush).
-    Cached per (mesh, cfg) like _sharded_render_fn, so warm render loops
-    don't re-trace/re-compile the assembly every call."""
-    x0, x1, y0, y1 = cfg.crop()
-    hc, wc = y1 - y0, x1 - x0
-    repl = NamedSharding(mesh, P())
-
-    def assemble(rgb, perm):
-        flat = jnp.zeros((hc * wc, 3), rgb.dtype).at[perm].set(rgb)
-        full = jnp.ones((cfg.height, cfg.width, 4), rgb.dtype)
-        return full.at[y0:y1, x0:x1, :3].set(flat.reshape(hc, wc, 3))
-
-    return jax.jit(assemble, out_shardings=repl)
+    return jax.jit(full, out_shardings=NamedSharding(mesh, P()))
