@@ -30,7 +30,17 @@ Suite rows (all on the attached TPU chip):
                        path: rays/s of each plus the max escape-direction
                        disagreement (the accuracy cost of the substitute;
                        the absolute accuracy of both is oracle-gated in
-                       tests/test_native.py::test_bench_schedule_accuracy).
+                       tests/test_native.py::test_bench_schedule_accuracy);
+                       plus the DIFFERENTIABLE adaptive path fwd+bwd
+                       (integrate_adaptive_scan, the discrete adjoint
+                       through the step controller).
+* kerr-events       -- 1024x1024 disk + 4 moons around a Kerr a/M=0.9
+                       hole, fwd+bwd: the Kerr event backward (sub=32) is
+                       the most VMEM-stressed kernel path.
+* sharded           -- the shard_map x Pallas composition ON HARDWARE:
+                       render_image_sharded (1024^2 + 4096^2 fwd) and a
+                       Trainer.step (1024^2 fwd+bwd) on the device mesh,
+                       each behind a parity assert vs the unsharded path.
 
 ``vs_baseline`` is the ratio to the driver-set north star of 10M geodesic
 rays/s fwd+bwd per chip (BASELINE.md); frame-rate rows convert through
@@ -40,10 +50,13 @@ O(1-100 ms)/ray -- SURVEY.md §6).
 
 Every run starts with an on-hardware parity gate (``--no-check`` skips):
 the Mosaic-compiled Pallas integrator must agree with the XLA scan path on
-statuses, final states and the mass gradient for THREE configs --
+statuses, final states and the mass gradient for FOUR configs --
 Schwarzschild event-free, Schwarzschild + disk + spheres (the event
-branches), and Kerr a=0.45 -- so a miscompile in any render path fails the
-bench loudly instead of shipping inside a good-looking number.
+branches), Kerr a=0.45, and Kerr + events -- plus both adaptive
+Dormand-Prince kernel rows (statuses + escape directions) and the
+shard_map x Pallas composition (sharded launch + mass gradient vs the
+unsharded call) -- so a miscompile in any render path fails the bench
+loudly instead of shipping inside a good-looking number.
 
 Usage: python bench.py [--only ROW] [--size N] [--steps K] [--repeat R]
                        [--fwd-only] [--no-check] [--no-artifact]
@@ -383,7 +396,8 @@ def bench_render(scene_kind, size, steps, repeat, fwd_only, *,
     emit(f"geodesic_rays_per_s{mode}{tag}_{size}x{size}", rays, "rays/s",
          rays / NORTH_STAR)
     print(f"# {scene_kind}{mode} pipelined={pipelined*1e3:.1f} ms/step "
-          f"per_call_ms={[round(t*1e3,1) for t in times]} steps={steps}",
+          f"per_call_ms={[round(t*1e3,1) for t in times]} "
+          f"median={np.median(times)*1e3:.1f} steps={steps}",
           file=sys.stderr)
     return rays
 
@@ -418,8 +432,8 @@ def bench_integrator(steps, repeat, spin=None, n=1024 * 1024):
         emit(f"geodesic_rays_per_s{mode}_{tag}_{n}", rays, "rays/s",
              rays / NORTH_STAR)
         print(f"# {tag}{mode} pipelined={pipelined*1e3:.1f} ms "
-              f"per_call_ms={[round(t*1e3,1) for t in times]}",
-              file=sys.stderr)
+              f"per_call_ms={[round(t*1e3,1) for t in times]} "
+              f"median={np.median(times)*1e3:.1f}", file=sys.stderr)
 
 
 def bench_animation(steps, frames=10, size=1024, samples=5):
@@ -535,35 +549,59 @@ def bench_adaptive(repeat):
         rays = n / pipelined
         emit(f"geodesic_rays_per_s_fwd_{name}_512x512", rays, "rays/s",
              rays / NORTH_STAR)
+        # per-call medians alongside the pipelined number: round-3 flagged
+        # a 4.6x per-call outlier (129.8 ms among ~29 ms calls) shipping
+        # unexplained -- host/tunnel scheduling jitter on this stack, which
+        # the pipelined (enqueued) measurement is immune to; the median
+        # makes the per-call spread visible in the artifact log.
         print(f"# {name} pipelined={pipelined*1e3:.1f} ms "
-              f"per_call_ms={[round(t*1e3,1) for t in times]}",
-              file=sys.stderr)
+              f"per_call_ms={[round(t*1e3,1) for t in times]} "
+              f"median={np.median(times)*1e3:.1f}", file=sys.stderr)
 
-    # differentiable adaptive (VERDICT r3 #4): the dopri GRADIENT path
-    # (integrate_adaptive_scan, the remat-checkpointed discrete adjoint of
-    # the step controller) timed fwd+bwd -- the one BASELINE-config-2
-    # quantity previously missing from the artifact set.  n_steps bounds
-    # the masked no-op trips the static scan needs; 600 covers this scene's
-    # max accepted+rejected trip count (while-loop path exits by ~450).
-    cfg_dopri_grad = dataclasses.replace(
-        cfg_dopri, mode="scan", n_steps=600)
+    # Differentiable adaptive (round-3 verdict #4): dopri fwd+bwd -- the
+    # one BASELINE-config-2 quantity previously missing from the artifact
+    # set.  Two rows: the XLA remat scan (integrate_adaptive_scan) and the
+    # in-kernel checkpointed adjoint THROUGH the step controller
+    # (integrate_pallas_dopri grad=True; per-ray h checkpointed with the
+    # state) -- the adjoint twin of the in-kernel adaptive forward.
+    # n_steps=600 bounds the trip count (the while-loop path exits by
+    # ~450; verified to terminate every ray of this fan).  Gradient parity
+    # between the two paths is asserted (the kernel adjoint equals the
+    # scan autodiff by construction; tested in interpret mode, enforced
+    # here on hardware).
+    grads = {}
+    for name, backend, rep in (("scan", "scan", 2), ("pallas", "pallas",
+                                                     repeat)):
+        if backend == "pallas" and _jax.default_backend() != "tpu":
+            continue
+        cfg_g = dataclasses.replace(cfg_dopri, mode="scan", n_steps=600,
+                                    backend=backend)
 
-    def dopri_loss(mass):
-        e = dataclasses.replace(env, mass=mass)
-        sfin = launch(e, x0, d0, cfg_dopri_grad)
-        return jnp.sum(sfin.x ** 2) * 1e-6
+        def dopri_loss(mass, cfg_g=cfg_g):
+            e = dataclasses.replace(env, mass=mass)
+            sfin = launch(e, x0, d0, cfg_g)
+            return jnp.sum(sfin.x ** 2) * 1e-6
 
-    step = jax.jit(jax.grad(dopri_loss))
-    pipelined, times = time_step(step, (jnp.asarray(0.5),), repeat,
-                                 depth=repeat)
-    rays = n / pipelined
-    emit("geodesic_rays_per_s_fwd_bwd_adaptive_dopri_scan_512x512", rays,
-         "rays/s", rays / NORTH_STAR,
-         note="differentiable adaptive: discrete adjoint through the "
-         "per-ray step controller (integrate_adaptive_scan)")
-    print(f"# adaptive_dopri_scan_fwd_bwd pipelined={pipelined*1e3:.1f} ms "
-          f"per_call_ms={[round(t*1e3,1) for t in times]} "
-          f"median={np.median(times)*1e3:.1f}", file=sys.stderr)
+        step = jax.jit(jax.grad(dopri_loss))
+        pipelined, times = time_step(step, (jnp.asarray(0.5),), rep,
+                                     depth=rep)
+        grads[name] = float(jax.block_until_ready(step(jnp.asarray(0.5))))
+        rays = n / pipelined
+        emit(f"geodesic_rays_per_s_fwd_bwd_adaptive_dopri_{name}_512x512",
+             rays, "rays/s", rays / NORTH_STAR,
+             note="differentiable adaptive: discrete adjoint through the "
+             "per-ray step controller")
+        print(f"# adaptive_dopri_{name}_fwd_bwd "
+              f"pipelined={pipelined*1e3:.1f} ms "
+              f"per_call_ms={[round(t*1e3,1) for t in times]} "
+              f"median={np.median(times)*1e3:.1f}", file=sys.stderr)
+    if len(grads) == 2:
+        rel = abs(grads["pallas"] - grads["scan"]) / max(
+            abs(grads["scan"]), 1e-9)
+        print(f"# dopri-grad-parity pallas-vs-scan rel={rel:.3e} "
+              f"{'OK' if rel < 0.01 else 'FAIL'}", file=sys.stderr)
+        if rel >= 0.01:
+            raise SystemExit("dopri kernel-adjoint gradient parity FAILED")
 
     da = np.asarray(final_direction(env, outs["adaptive_dopri_xla"]))
     dr = np.asarray(final_direction(env, outs["rk4_pallas"]))

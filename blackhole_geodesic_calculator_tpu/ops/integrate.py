@@ -513,12 +513,19 @@ def integrate(env: GeodesicEnv, s0: RayState, cfg: IntegratorConfig) -> RayState
             if _use_pallas(env, cfg):
                 # in-kernel per-ray step controller (VMEM-resident state;
                 # the XLA while-loop round-trips the carry through HBM
-                # every trip -- measured 19x slower on v5e at 512^2).
-                # Forward-only: dopri GRADIENTS go through the scan path.
+                # every trip -- measured 19x slower on v5e at 512^2)
                 from .pallas_kernel import integrate_pallas_dopri
 
                 return integrate_pallas_dopri(env, s0, cfg)
             return integrate_adaptive(env, s0, cfg)[0]
+        if _use_pallas(env, cfg):
+            # differentiable adaptive in-kernel: custom-vjp core whose
+            # backward is the checkpointed exact discrete adjoint through
+            # the step controller (per-ray h checkpointed with the state)
+            # -- same discrete trajectory and gradient as the scan path
+            from .pallas_kernel import integrate_pallas_dopri
+
+            return integrate_pallas_dopri(env, s0, cfg, grad=True)
         return integrate_adaptive_scan(env, s0, cfg)
     if _use_pallas(env, cfg):
         from .pallas_kernel import integrate_pallas

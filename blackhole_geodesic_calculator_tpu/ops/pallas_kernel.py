@@ -345,17 +345,21 @@ _DP_E = tuple(
 
 
 def _dopri_trip(xp, h, lam, status, hit_obj, scal, sph, *, has_disk, n_sph,
-                kerr, rtol, atol, min_step, max_step, enabled):
+                kerr, rtol, atol, min_step, max_step, enabled,
+                grad_guard=False):
     """One adaptive Dormand-Prince 5(4) TRIP (attempt) on SoA tiles: embed,
     test the error, accept-or-reject, rescale the per-ray step ``h`` -- the
     exact SoA twin of one ``integrate.integrate_adaptive`` while-loop body
     (same tableau, same 0.2-power controller, same event handling via
-    ``_events_merge``; parity is tested).  Forward-only.
+    ``_events_merge``; parity is tested).
 
     Returns (xp1, h1, lam1, status1, hit_obj1).  A trip with
     ``enabled=False`` is the exact identity (dt = 0 candidate rejected for
     h purposes), which lets the kernel pad the trip count to a chunk
-    multiple."""
+    multiple.  ``grad_guard=True`` uses the double-where sqrt guard for the
+    error norm (identical forward values; finite vjp at err = 0, the
+    frozen-ray case) -- the adjoint path (_dopri_trip_adjoint) requires
+    it, mirroring integrate.integrate_adaptive_scan's guard."""
     x0, x1, x2, p0, p1, p2, E = xp
     mass, spin = scal[0], scal[9]
     active = status == states.ACTIVE
@@ -395,8 +399,11 @@ def _dopri_trip(xp, h, lam, status, hit_obj, scal, sph, *, has_disk, n_sph,
         r = e / scale
         err2 = err2 + r * r
     err2 = err2 * (1.0 / 6.0)
-    # forward-only: plain sqrt (no 0-derivative guard needed)
-    errn = jnp.sqrt(err2)
+    if grad_guard:
+        errn = jnp.where(err2 > 0,
+                         jnp.sqrt(jnp.where(err2 > 0, err2, 1.0)), 0.0)
+    else:
+        errn = jnp.sqrt(err2)
 
     accept = ((errn <= 1.0) | (h <= min_step)) & live
 
@@ -499,15 +506,20 @@ def _build_dopri(n_steps: int, has_disk: bool, n_sph: int, sub: int,
 
 
 def integrate_pallas_dopri(env, s0, cfg, *, sub: int | None = None,
-                           interpret: bool = False):
-    """Pallas twin of integrate.integrate_adaptive (forward-only): the
-    whole per-ray adaptive Dormand-Prince integration -- embedded error
-    control, accept/reject, per-ray h -- runs inside one kernel with the
-    state VMEM-resident, giving BASELINE config 2 (adaptive RK45 with
-    early exit, the reference's actual solver family,
+                           interpret: bool = False, grad: bool = False):
+    """Pallas twin of integrate.integrate_adaptive: the whole per-ray
+    adaptive Dormand-Prince integration -- embedded error control,
+    accept/reject, per-ray h -- runs inside one kernel with the state
+    VMEM-resident, giving BASELINE config 2 (adaptive RK45 with early
+    exit, the reference's actual solver family,
     /root/reference/README.md:196-211) a fast hardware path instead of an
-    HBM-round-tripping XLA while-loop.  Not differentiable; dopri gradients
-    go through integrate_adaptive_scan (XLA)."""
+    HBM-round-tripping XLA while-loop.
+
+    ``grad=True`` returns the DIFFERENTIABLE core (same forward result):
+    a custom-vjp pair whose backward is the checkpointed exact discrete
+    adjoint through the step controller (_build_dopri_grad) -- the
+    in-kernel counterpart of integrate.integrate_adaptive_scan, with the
+    per-ray h checkpointed alongside the state."""
     batch = s0.E.shape
     if len(batch) != 1:
         flat = states.RayState(
@@ -515,17 +527,32 @@ def integrate_pallas_dopri(env, s0, cfg, *, sub: int | None = None,
             E=s0.E.reshape(-1), lam=s0.lam.reshape(-1),
             status=s0.status.reshape(-1), hit_obj=s0.hit_obj.reshape(-1))
         out = integrate_pallas_dopri(env, flat, cfg, sub=sub,
-                                     interpret=interpret)
+                                     interpret=interpret, grad=grad)
         return states.RayState(
             x=out.x.reshape(batch + (3,)), p=out.p.reshape(batch + (3,)),
             E=s0.E, lam=out.lam.reshape(batch),
             status=out.status.reshape(batch),
             hit_obj=out.hit_obj.reshape(batch))
     n = s0.E.shape[0]
+    seg = 16
+    while seg * seg < cfg.n_steps:
+        seg *= 2
+    n_seg = max(1, -(-cfg.n_steps // seg))
     if sub is None:
-        # forward-only: no tape, just the 11-row carry + 7 k-pair
-        # temporaries; sub=64 fits comfortably (Kerr included)
-        sub = 64
+        if grad:
+            # Backward working set per tile: the seg-trip (8 f32 + 1 i32)
+            # tape, n_seg checkpoints of the same 9 components, I/O rows,
+            # plus the whole-trip vjp's 7-stage residuals (~90 rows).
+            sub = 8
+            for cand in (32, 16):
+                rows = (seg + n_seg) * 9 + 120
+                if rows * cand * LANES * 4 <= 12 * 2**20:
+                    sub = cand
+                    break
+        else:
+            # forward-only: no tape, just the 11-row carry + 7 k-pair
+            # temporaries; sub=64 fits comfortably (Kerr included)
+            sub = 64
     tile = sub * LANES
     pad = (-n) % tile
     npad = n + pad
@@ -593,10 +620,17 @@ def integrate_pallas_dopri(env, s0, cfg, *, sub: int | None = None,
     import math
 
     max_step = cfg.max_step if math.isfinite(cfg.max_step) else 1e30
-    core = _build_dopri(cfg.n_steps, env.disk is not None, n_sph, sub,
-                        interpret, env.spin is not None,
-                        float(cfg.rtol), float(cfg.atol),
-                        float(cfg.min_step), float(max_step))
+    if grad:
+        core = _build_dopri_grad(cfg.n_steps, env.disk is not None, n_sph,
+                                 sub, seg, interpret,
+                                 env.spin is not None,
+                                 float(cfg.rtol), float(cfg.atol),
+                                 float(cfg.min_step), float(max_step))
+    else:
+        core = _build_dopri(cfg.n_steps, env.disk is not None, n_sph, sub,
+                            interpret, env.spin is not None,
+                            float(cfg.rtol), float(cfg.atol),
+                            float(cfg.min_step), float(max_step))
     outs = core(*comps, st0, obj0, scal, sph)
     ox0, ox1, ox2, op0, op1, op2, olam, ost, oobj = outs
     if reorder:
@@ -611,6 +645,336 @@ def integrate_pallas_dopri(env, s0, cfg, *, sub: int | None = None,
     return states.RayState(
         x=x, p=p, E=s0.E, lam=olam.reshape(-1)[:n],
         status=ost.reshape(-1)[:n], hit_obj=oobj.reshape(-1)[:n])
+
+
+# =============================================================================
+# Differentiable adaptive Dormand-Prince: checkpointed exact discrete
+# adjoint THROUGH the step controller (the in-kernel counterpart of
+# integrate.integrate_adaptive_scan -- discretize-then-optimize: the
+# per-ray h is part of the differentiated carry, so gradients account for
+# h's dependence on the state, exactly like jax.grad of the scan path).
+# =============================================================================
+def _dopri_trip_adjoint(xp, h, lam, status, hit_obj, scal, sph, g6, gh, *,
+                        has_disk, n_sph, kerr, rtol, atol, min_step,
+                        max_step, enabled):
+    """Transpose of one ``_dopri_trip`` w.r.t. (x6, E, h, scal, sph).
+
+    A whole-trip ``jax.vjp`` with the taped ``lam``/``status``/``hit_obj``
+    closed over as constants: accept/reject and the event selectors are
+    boolean (non-differentiable decisions), while the controller chain
+    errn -> factor -> h_next IS differentiated -- matching what
+    ``jax.grad`` of ``integrate_adaptive_scan``'s body computes.  The 7
+    Dormand-Prince stage residuals coexist (unlike ``_step_adjoint``'s
+    sequential per-stage scheme); the Schwarzschild RHS is small enough
+    that this fits VMEM at the grad path's reduced ``sub``.
+
+    Args: taped pre-trip state ``xp`` = (x0..p2, E) and step ``h``,
+    cotangents ``g6`` (next state) and ``gh`` (next h).
+    Returns (g_x6(6), gE, g_h, gscal, gsph) with ``gsph = None`` when
+    ``n_sph == 0``."""
+    x6 = xp[:6]
+    E = xp[6]
+
+    if n_sph:
+        def trip_fn(x6_, E_, h_, scal_, sph_):
+            out = _dopri_trip(
+                (*x6_, E_), h_, lam, status, hit_obj, scal_, sph_,
+                has_disk=has_disk, n_sph=n_sph, kerr=kerr, rtol=rtol,
+                atol=atol, min_step=min_step, max_step=max_step,
+                enabled=enabled, grad_guard=True)
+            return tuple(out[0][:6]), out[1]
+
+        _, vjp = jax.vjp(trip_fn, x6, E, h, scal, sph)
+        gx6, gE, gh_prev, gscal, gsph = vjp((tuple(g6), gh))
+    else:
+        def trip_fn(x6_, E_, h_, scal_):
+            out = _dopri_trip(
+                (*x6_, E_), h_, lam, status, hit_obj, scal_, None,
+                has_disk=has_disk, n_sph=n_sph, kerr=kerr, rtol=rtol,
+                atol=atol, min_step=min_step, max_step=max_step,
+                enabled=enabled, grad_guard=True)
+            return tuple(out[0][:6]), out[1]
+
+        _, vjp = jax.vjp(trip_fn, x6, E, h, scal)
+        gx6, gE, gh_prev, gscal = vjp((tuple(g6), gh))
+        gsph = None
+    return gx6, gE, gh_prev, gscal, gsph
+
+
+def _fwd_dopri_ckpt_kernel(scal_ref, sph_ref,
+                           x0r, x1r, x2r, p0r, p1r, p2r, Er, hr, lamr,
+                           str_, objr,
+                           ox0, ox1, ox2, op0, op1, op2, olam, ost, oobj,
+                           cx0, cx1, cx2, cp0, cp1, cp2, ch, clam, cst,
+                           *, n_steps, has_disk, n_sph, seg, kerr, rtol,
+                           atol, min_step, max_step):
+    """Grad-path adaptive forward: checkpoints (state, h, lam, status)
+    BEFORE trips 0, seg, 2*seg, ... (the dopri twin of _fwd_ckpt_kernel;
+    the per-ray step h joins the checkpoint set because the backward
+    segment recompute must restart the controller from the exact taped
+    h)."""
+    scal = scal_ref[0, :]
+    sph = sph_ref[:] if n_sph else None
+    n_seg = -(-n_steps // seg)
+
+    carry0 = (
+        (x0r[:], x1r[:], x2r[:], p0r[:], p1r[:], p2r[:], Er[:]),
+        hr[:], lamr[:], str_[:], objr[:],
+    )
+
+    def body(s, carry):
+        xp, h, lam, st, obj = carry
+        cx0[s], cx1[s], cx2[s] = xp[0], xp[1], xp[2]
+        cp0[s], cp1[s], cp2[s] = xp[3], xp[4], xp[5]
+        ch[s] = h
+        clam[s] = lam
+        cst[s] = st
+
+        def run(carry):
+            def inner(j, c):
+                def trip(c):
+                    xp_, h_, lam_, st_, obj_ = c
+                    return _dopri_trip(
+                        xp_, h_, lam_, st_, obj_, scal, sph,
+                        has_disk=has_disk, n_sph=n_sph, kerr=kerr,
+                        rtol=rtol, atol=atol, min_step=min_step,
+                        max_step=max_step,
+                        enabled=s * seg + j < n_steps)
+
+                return lax.cond(jnp.any(c[3] == states.ACTIVE), trip,
+                                lambda c: c, c)
+
+            return lax.fori_loop(0, seg, inner, carry)
+
+        return lax.cond(jnp.any(st == states.ACTIVE), run, lambda c: c,
+                        carry)
+
+    xp, h, lam, st, obj = lax.fori_loop(0, n_seg, body, carry0)
+
+    ox0[:], ox1[:], ox2[:] = xp[0], xp[1], xp[2]
+    op0[:], op1[:], op2[:] = xp[3], xp[4], xp[5]
+    olam[:], ost[:], oobj[:] = lam, st, obj
+
+
+def _bwd_dopri_kernel(scal_ref, sph_ref,
+                      cx0, cx1, cx2, cp0, cp1, cp2, ch, clam, cst, Er,
+                      objr,
+                      gx0, gx1, gx2, gp0, gp1, gp2,
+                      bx0, bx1, bx2, bp0, bp1, bp2, bE, bscal, bsph,
+                      tx0, tx1, tx2, tp0, tp1, tp2, th, tlam, tst,
+                      *, n_steps, has_disk, n_sph, seg, kerr, rtol, atol,
+                      min_step, max_step):
+    """Adaptive backward: per segment (reverse order), re-run the dopri
+    trips from the checkpoint filling the (state, h, lam, status) tape,
+    then sweep ``_dopri_trip_adjoint`` in reverse.  The h cotangent is part
+    of the reverse carry (h_next depends on the state through the error
+    norm; its cotangent flows back into the trajectory); at trip 0 it lands
+    on the constant initial h and is dropped."""
+    scal = scal_ref[0, :]
+    sph = sph_ref[:] if n_sph else None
+    n_seg = -(-n_steps // seg)
+
+    E = Er[:]
+    obj_dummy = objr[:]
+
+    def seg_body(si, carry):
+        s = n_seg - 1 - si
+
+        def process(carry):
+            def fwd_body(i, c):
+                xp, h, lam, st, obj = c
+                tx0[i], tx1[i], tx2[i] = xp[0], xp[1], xp[2]
+                tp0[i], tp1[i], tp2[i] = xp[3], xp[4], xp[5]
+                th[i] = h
+                tlam[i] = lam
+                tst[i] = st
+
+                def trip(c):
+                    xp_, h_, lam_, st_, obj_ = c
+                    return _dopri_trip(
+                        xp_, h_, lam_, st_, obj_, scal, sph,
+                        has_disk=has_disk, n_sph=n_sph, kerr=kerr,
+                        rtol=rtol, atol=atol, min_step=min_step,
+                        max_step=max_step,
+                        enabled=s * seg + i < n_steps)
+
+                return lax.cond(jnp.any(st == states.ACTIVE), trip,
+                                lambda c: c, c)
+
+            carry_in = (
+                (cx0[s], cx1[s], cx2[s], cp0[s], cp1[s], cp2[s], E),
+                ch[s], clam[s], cst[s], obj_dummy,
+            )
+            lax.fori_loop(0, seg, fwd_body, carry_in)
+
+            def bwd_body(j, c):
+                i = seg - 1 - j
+
+                def adjoint(c):
+                    (vx0, vx1, vx2, vp0, vp1, vp2, vE, vh, vscal,
+                     vsph) = c
+                    g6, gE, gh, gscal, gsph = _dopri_trip_adjoint(
+                        (tx0[i], tx1[i], tx2[i],
+                         tp0[i], tp1[i], tp2[i], E),
+                        th[i], tlam[i], tst[i], obj_dummy, scal, sph,
+                        (vx0, vx1, vx2, vp0, vp1, vp2), vh,
+                        has_disk=has_disk, n_sph=n_sph, kerr=kerr,
+                        rtol=rtol, atol=atol, min_step=min_step,
+                        max_step=max_step,
+                        enabled=s * seg + i < n_steps)
+                    return (*g6, vE + gE, gh, vscal + gscal,
+                            vsph + gsph if n_sph else vsph)
+
+                # Fully-frozen trip: exact identity on (x, p, h) -- skip.
+                return lax.cond(jnp.any(tst[i] == states.ACTIVE), adjoint,
+                                lambda c: c, c)
+
+            return lax.fori_loop(0, seg, bwd_body, carry)
+
+        return lax.cond(jnp.any(cst[s] == states.ACTIVE),
+                        process, lambda c: c, carry)
+
+    zero_t = jnp.zeros_like(gx0[:])
+    init = (gx0[:], gx1[:], gx2[:], gp0[:], gp1[:], gp2[:], zero_t,
+            zero_t,                      # gh: final h is unused downstream
+            jnp.zeros((NSCAL,), jnp.float32),
+            jnp.zeros_like(sph) if n_sph else jnp.zeros((1, 4),
+                                                        jnp.float32))
+    (vx0, vx1, vx2, vp0, vp1, vp2, vE, _vh, vscal, vsph) = lax.fori_loop(
+        0, n_seg, seg_body, init)
+
+    bx0[:], bx1[:], bx2[:] = vx0, vx1, vx2
+    bp0[:], bp1[:], bp2[:] = vp0, vp1, vp2
+    bE[:] = vE
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        bscal[:] = jnp.zeros_like(bscal)
+        bsph[:] = jnp.zeros_like(bsph)
+
+    bscal[:] = bscal[:] + vscal.reshape(1, NSCAL)
+    bsph[:] = bsph[:] + vsph.reshape(bsph.shape)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_dopri_grad(n_steps: int, has_disk: bool, n_sph: int, sub: int,
+                      seg: int, interpret: bool, kerr: bool, rtol: float,
+                      atol: float, min_step: float, max_step: float):
+    """custom-vjp'd adaptive core: fast forward (no tape) as the primal,
+    checkpointing forward + checkpointed-adjoint backward under jax.grad.
+
+    Core signature (all (R, 128) f32 unless noted):
+      core(x0,x1,x2,p0,p1,p2,E, h0, lam0, st0:i32, obj0:i32,
+           scal:(1,NSCAL), sph:(n_sph_pad,4))
+      -> (x0',x1',x2',p0',p1',p2', lam', st', obj')
+    """
+    n_seg = max(1, -(-n_steps // seg))
+    n_sph_pad = max(n_sph, 1)
+
+    def f32_out(r):
+        return jax.ShapeDtypeStruct((r, LANES), jnp.float32)
+
+    def i32_out(r):
+        return jax.ShapeDtypeStruct((r, LANES), jnp.int32)
+
+    scal_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    common = dict(interpret=interpret)
+    dp_kw = dict(n_steps=n_steps, has_disk=has_disk, n_sph=n_sph,
+                 kerr=kerr, rtol=rtol, atol=atol, min_step=min_step,
+                 max_step=max_step)
+
+    def fwd_fast(*args):
+        scal, sph = args[11], args[12]
+        comps = args[:11]
+        r = comps[0].shape[0]
+        tiles = r // sub
+        kern = functools.partial(_fwd_dopri_kernel, **dp_kw)
+        outs = pl.pallas_call(
+            kern,
+            grid=(tiles,),
+            in_specs=[scal_spec, scal_spec] + [_row_spec(sub)] * 11,
+            out_specs=[_row_spec(sub)] * 9,
+            out_shape=[f32_out(r)] * 7 + [i32_out(r)] * 2,
+            **common,
+        )(scal, sph, *comps)
+        return tuple(outs)
+
+    def fwd_ckpt(*args):
+        scal, sph = args[11], args[12]
+        comps = args[:11]
+        r = comps[0].shape[0]
+        tiles = r // sub
+        kern = functools.partial(_fwd_dopri_ckpt_kernel, seg=seg, **dp_kw)
+        ck_f = jax.ShapeDtypeStruct((n_seg, r, LANES), jnp.float32)
+        ck_i = jax.ShapeDtypeStruct((n_seg, r, LANES), jnp.int32)
+        outs = pl.pallas_call(
+            kern,
+            grid=(tiles,),
+            in_specs=[scal_spec, scal_spec] + [_row_spec(sub)] * 11,
+            out_specs=[_row_spec(sub)] * 9 + [_ckpt_spec(n_seg, sub)] * 9,
+            out_shape=[f32_out(r)] * 7 + [i32_out(r)] * 2
+            + [ck_f] * 8 + [ck_i],
+            **common,
+        )(scal, sph, *comps)
+        return tuple(outs[:9]), tuple(outs[9:])
+
+    def bwd_call(scal, sph, ckpts, E, obj0, gx):
+        r = E.shape[0]
+        tiles = r // sub
+        kern = functools.partial(_bwd_dopri_kernel, seg=seg, **dp_kw)
+        outs = pl.pallas_call(
+            kern,
+            grid=(tiles,),
+            in_specs=[scal_spec, scal_spec]
+            + [_ckpt_spec(n_seg, sub)] * 9
+            + [_row_spec(sub)] * 2
+            + [_row_spec(sub)] * 6,
+            out_specs=[_row_spec(sub)] * 7 + [
+                pl.BlockSpec((1, NSCAL), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_sph_pad, 4), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[f32_out(r)] * 7 + [
+                jax.ShapeDtypeStruct((1, NSCAL), jnp.float32),
+                jax.ShapeDtypeStruct((n_sph_pad, 4), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((seg, sub, LANES), jnp.float32)] * 8
+            + [pltpu.VMEM((seg, sub, LANES), jnp.int32)],
+            **common,
+        )(scal, sph, *ckpts[:9], E, obj0, *gx)
+        return outs
+
+    @jax.custom_vjp
+    def core(x0, x1, x2, p0, p1, p2, E, h0, lam0, st0, obj0, scal, sph):
+        return fwd_fast(x0, x1, x2, p0, p1, p2, E, h0, lam0, st0, obj0,
+                        scal, sph)
+
+    def core_fwd(x0, x1, x2, p0, p1, p2, E, h0, lam0, st0, obj0, scal,
+                 sph):
+        outs, ckpts = fwd_ckpt(x0, x1, x2, p0, p1, p2, E, h0, lam0, st0,
+                               obj0, scal, sph)
+        return outs, (ckpts, E, obj0, scal, sph)
+
+    def core_bwd(res, g):
+        import numpy as np
+        ckpts, E, obj0, scal, sph = res
+        gx = g[:6]  # cotangents of (x', p'); lam'/st'/obj' are non-diff
+        outs = bwd_call(scal, sph, ckpts, E, obj0, gx)
+        bx = outs[:6]
+        bE = outs[6]
+        bscal = outs[7]
+        bsph = outs[8]
+        zeros_f = jnp.zeros_like(E)
+        zi = np.zeros(obj0.shape, jax.dtypes.float0)
+        # h0 cotangent: the initial step size is a static config constant
+        # (min(cfg.dt, cfg.max_step)); its cotangent has nowhere to flow.
+        return (*bx, bE, zeros_f, zeros_f, zi, zi, bscal, bsph)
+
+    core.defvjp(core_fwd, core_bwd)
+    return core
 
 
 def _step_adjoint(xp, lam, status, hit_obj, scal, sph, g6, *,

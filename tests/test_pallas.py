@@ -214,3 +214,95 @@ def test_dopri_kernel_parity():
             rd = np.linalg.norm(np.asarray(out.x)[dd, :2], axis=-1)
             assert zd.max() < 1e-3
             assert (rd > 1.9).all() and (rd < 6.1).all()
+
+
+def test_dopri_grad_kernel_adjoint():
+    """The differentiable in-kernel adaptive path (integrate_pallas_dopri
+    grad=True: checkpointed discrete adjoint THROUGH the per-ray step
+    controller) must match jax.grad of integrate_adaptive_scan -- the XLA
+    reference whose own gradients are the discretize-then-optimize adjoint
+    of the same scheme.
+
+    The fan stays in the weak field (b in [6.5, 12]) so accept/reject
+    decisions agree; the loss reads boundary-insensitive observables
+    (escape DIRECTIONS, frozen event points) because the stored endpoint of
+    an escaped ray may differ by one accepted step at the escape boundary
+    between two correct implementations.  Residual tolerance covers
+    controller-chain f32 divergence (h sequences drift a few ulps per
+    trip), not structure: a missing h-chain or controller term shows up at
+    O(1)."""
+    from blackhole_geodesic_calculator_tpu.ops.integrate import (
+        final_direction, integrate_adaptive_scan,
+    )
+    from blackhole_geodesic_calculator_tpu.ops.pallas_kernel import (
+        integrate_pallas_dopri,
+    )
+
+    cfg = IntegratorConfig(n_steps=96, dt=0.05, method="dopri",
+                           mode="scan", rtol=1e-5, atol=1e-8, max_step=4.0)
+    n = 640
+    rng = np.random.default_rng(3)
+    b = rng.uniform(6.5, 12.0, n)
+    ang = rng.uniform(0, 2 * np.pi, n)
+    x0 = jnp.asarray(np.stack([b * np.cos(ang), b * np.sin(ang),
+                               np.full(n, 25.0)], -1), jnp.float32)
+    d0 = jnp.asarray(np.tile([0.0, 0.0, -1.0], (n, 1)), jnp.float32)
+    wx = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+
+    def loss(m, x0_, pallas):
+        env = GeodesicEnv(
+            mass=m, r_capture=1.0, r_escape=jnp.asarray(60.0),
+            lam_max=jnp.asarray(70.0),
+            disk=DiskGeom(r_in=jnp.asarray(5.0), r_out=jnp.asarray(9.0)),
+            spheres=SphereGeom(center=jnp.asarray([[6.5, 0.0, 10.0]]),
+                               radius=jnp.asarray([1.5])))
+        p0, E0 = null_init(x0_, d0, m, None)
+        s0 = states.init_state(x0_, p0, E0)
+        s = (integrate_pallas_dopri(env, s0, cfg, interpret=True,
+                                    grad=True)
+             if pallas else integrate_adaptive_scan(env, s0, cfg))
+        d1 = final_direction(env, s)
+        esc = (s.status == states.ESCAPED)[..., None]
+        ev = ((s.status == states.DISK)
+              | (s.status == states.OBJECT))[..., None]
+        return (jnp.sum(jnp.where(esc, wx * d1, 0.0)
+                        + jnp.where(ev, wx * s.x, 0.0)), s.status)
+
+    m = jnp.asarray(0.5)
+    (v_r, st_r), g_r = jax.value_and_grad(
+        lambda m_, x_: loss(m_, x_, False), argnums=(0, 1),
+        has_aux=True)(m, x0)
+    (v_p, st_p), g_p = jax.value_and_grad(
+        lambda m_, x_: loss(m_, x_, True), argnums=(0, 1),
+        has_aux=True)(m, x0)
+    st_r, st_p = np.asarray(st_r), np.asarray(st_p)
+    assert (st_r == st_p).mean() >= 0.998
+    # both event types actually exercised
+    assert (st_p == states.DISK).any() and (st_p == states.OBJECT).any()
+    assert abs(float(v_p - v_r)) / max(abs(float(v_r)), 1e-9) < 1e-3
+    rel_m = abs(float(g_p[0] - g_r[0])) / max(abs(float(g_r[0])), 1e-12)
+    assert rel_m < 5e-2, f"mass grad rel err {rel_m:.3e}"
+    gx_r, gx_p = np.asarray(g_r[1]), np.asarray(g_p[1])
+    rel_x = np.abs(gx_p - gx_r).max() / max(np.abs(gx_r).max(), 1e-12)
+    assert rel_x < 5e-2, f"x0 grad max rel err {rel_x:.3e}"
+
+
+def test_dopri_grad_primal_matches_forward():
+    """integrate_pallas_dopri(grad=True)'s primal (the custom_vjp fast
+    forward) is the SAME kernel as grad=False -- outputs bitwise equal
+    (tile width differs, which must not change per-ray arithmetic)."""
+    from blackhole_geodesic_calculator_tpu.ops.pallas_kernel import (
+        integrate_pallas_dopri,
+    )
+
+    cfg = IntegratorConfig(n_steps=120, dt=0.05, method="dopri",
+                           mode="while", rtol=1e-5, atol=1e-8, max_step=4.0)
+    x0, d0 = rays(700, seed=13)
+    env = make_env(jnp.asarray(0.5))
+    p0, E0 = null_init(x0, d0, env.mass, None)
+    s0 = states.init_state(x0, p0, E0)
+    a = integrate_pallas_dopri(env, s0, cfg, interpret=True)
+    bb = integrate_pallas_dopri(env, s0, cfg, interpret=True, grad=True)
+    np.testing.assert_array_equal(np.asarray(a.status), np.asarray(bb.status))
+    np.testing.assert_array_equal(np.asarray(a.x), np.asarray(bb.x))
+    np.testing.assert_array_equal(np.asarray(a.lam), np.asarray(bb.lam))

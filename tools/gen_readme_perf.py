@@ -65,9 +65,11 @@ LABELS = {
     "geodesic_rays_per_s_fwd_adaptive_dopri_pallas_512x512":
         "adaptive Dormand–Prince 512² fan, **in-kernel Pallas per-ray "
         "controller**",
+    "geodesic_rays_per_s_fwd_bwd_adaptive_dopri_pallas_512x512":
+        "**differentiable adaptive, in-kernel checkpointed adjoint** "
+        "through the step controller, fwd+bwd",
     "geodesic_rays_per_s_fwd_bwd_adaptive_dopri_scan_512x512":
-        "differentiable adaptive (discrete adjoint through the step "
-        "controller), fwd+bwd",
+        "differentiable adaptive, XLA remat scan, fwd+bwd",
     "geodesic_rays_per_s_fwd_rk4_pallas_512x512":
         "tuned fixed-schedule RK4 512² fan (the flagship path)",
     "adaptive_vs_fixed_max_escape_dir_err":
