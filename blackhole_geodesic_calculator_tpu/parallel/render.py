@@ -41,7 +41,8 @@ def _flat_pixels(cfg: RenderConfig, n_shards: int):
     """Flattened (ys, xs) of the crop window, dealt round-robin over shards
     and padded so every shard gets the same count.  Returns (ys, xs, perm,
     n_valid) -- ``perm[i]`` is the flat crop-pixel index that ray slot i
-    serves, so colors scatter back with ``out.at[perm].set(rgb)``."""
+    serves; framebuffer assembly uses the static inverse (_inv_perm) as a
+    GATHER ``rgb[inv]`` (the scatter form serializes on TPU)."""
     return _flat_pixels_cached(cfg, n_shards)
 
 

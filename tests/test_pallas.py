@@ -306,3 +306,48 @@ def test_dopri_grad_primal_matches_forward():
     np.testing.assert_array_equal(np.asarray(a.status), np.asarray(bb.status))
     np.testing.assert_array_equal(np.asarray(a.x), np.asarray(bb.x))
     np.testing.assert_array_equal(np.asarray(a.lam), np.asarray(bb.lam))
+
+
+def test_dopri_grad_kernel_adjoint_kerr():
+    """The dopri kernel adjoint's Kerr path: (mass, spin) gradients through
+    the in-kernel adaptive controller match jax.grad of
+    integrate_adaptive_scan with the same Kerr env (weak-field fan,
+    direction observables -- see test_dopri_grad_kernel_adjoint)."""
+    from blackhole_geodesic_calculator_tpu.models.kerr import horizon_radius
+    from blackhole_geodesic_calculator_tpu.ops.integrate import (
+        final_direction, integrate_adaptive_scan,
+    )
+    from blackhole_geodesic_calculator_tpu.ops.pallas_kernel import (
+        integrate_pallas_dopri,
+    )
+
+    cfg = IntegratorConfig(n_steps=80, dt=0.05, method="dopri",
+                           mode="scan", rtol=1e-5, atol=1e-8, max_step=4.0)
+    n = 512
+    rng = np.random.default_rng(7)
+    b = rng.uniform(6.5, 12.0, n)
+    ang = rng.uniform(0, 2 * np.pi, n)
+    x0 = jnp.asarray(np.stack([b * np.cos(ang), b * np.sin(ang),
+                               np.full(n, 25.0)], -1), jnp.float32)
+    d0 = jnp.asarray(np.tile([0.0, 0.0, -1.0], (n, 1)), jnp.float32)
+    wx = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+
+    def loss(m, a, pallas):
+        env = GeodesicEnv(mass=m, spin=a, r_capture=horizon_radius(m, a),
+                          r_escape=jnp.asarray(60.0),
+                          lam_max=jnp.asarray(70.0))
+        p0, E0 = null_init(x0, d0, m, a)
+        s0 = states.init_state(x0, p0, E0)
+        s = (integrate_pallas_dopri(env, s0, cfg, interpret=True,
+                                    grad=True)
+             if pallas else integrate_adaptive_scan(env, s0, cfg))
+        d1 = final_direction(env, s)
+        esc = (s.status == states.ESCAPED)[..., None]
+        return jnp.sum(jnp.where(esc, wx * d1, 0.0))
+
+    m, a = jnp.asarray(0.5), jnp.asarray(0.45)
+    g_r = jax.grad(lambda *z: loss(*z, pallas=False), argnums=(0, 1))(m, a)
+    g_p = jax.grad(lambda *z: loss(*z, pallas=True), argnums=(0, 1))(m, a)
+    for name, r, p in zip(("mass", "spin"), g_r, g_p):
+        rel = abs(float(p - r)) / max(abs(float(r)), 1e-12)
+        assert rel < 5e-2, f"{name} grad rel err {rel:.3e}"
