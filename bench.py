@@ -37,6 +37,10 @@ Suite rows (all on the attached TPU chip):
 * kerr-events       -- 1024x1024 disk + 4 moons around a Kerr a/M=0.9
                        hole, fwd+bwd: the Kerr event backward (sub=32) is
                        the most VMEM-stressed kernel path.
+* surrogate         -- the learned Kerr scattering surrogate
+                       (models/surrogate.py): train a 128x4 MLP on-chip
+                       against the Pallas integrator, then bf16 MXU
+                       inference rays/s + held-out accuracy rows.
 * sharded           -- the shard_map x Pallas composition ON HARDWARE:
                        render_image_sharded (1024^2 + 4096^2 fwd) and a
                        Trainer.step (1024^2 fwd+bwd) on the device mesh,
@@ -736,13 +740,65 @@ def bench_sharded(size, steps, repeat):
           f"median={np.median(times)*1e3:.1f}", file=sys.stderr)
 
 
+def bench_surrogate(repeat):
+    """Learned Kerr scattering surrogate (models/surrogate.py): the
+    reference's planned 'Tensorflow model or interpolation' fast path
+    (/root/reference/README.md:237), which no table can provide for Kerr.
+
+    Trains a 128x4 MLP ON THIS CHIP against the live Pallas integrator
+    (fresh integrator-labeled batch every optimizer step), then times bf16
+    MXU inference and reports held-out accuracy vs the integrator.  The
+    surrogate is an approximate preview path, not gradient-bearing; its
+    accuracy rows are part of the artifact so the speed claim can't hide
+    the error."""
+    import jax
+    import jax.numpy as jnp
+
+    from blackhole_geodesic_calculator_tpu.models import surrogate as sur
+
+    cfg = sur.SurrogateConfig()
+    t0 = time.perf_counter()
+    # 5000 steps x 8192 rays ~ 80 s on an uncontended v5e; accuracy is
+    # training-limited in this regime (2000 -> 6000 steps roughly halves
+    # the median escape-direction error, 12.6 -> 7.2 mrad).
+    model, hist = sur.train_surrogate(
+        jax.random.PRNGKey(0), mass=0.5, spin=0.45, cfg=cfg,
+        steps=5000, batch=8192)
+    jax.block_until_ready(model.params)
+    train_s = time.perf_counter() - t0
+    print(f"# surrogate-train 5000 steps x 8192 rays in {train_s:.1f}s "
+          f"(final loss {hist['loss'][-1]:.4f})", file=sys.stderr)
+
+    n = 1 << 21  # 2M rays
+    entry, d = sur.sample_entries(jax.random.PRNGKey(1), n, cfg, 0.5)
+    trace = jax.jit(model.trace)
+    pipelined, times = time_step(lambda: trace(entry, d), (), repeat)
+    rays = n / pipelined
+    emit("surrogate_kerr_rays_per_s", rays, "rays/s", rays / NORTH_STAR,
+         note="MLP 128x4 bf16 MXU inference, 2M-ray batch; approximate "
+         "preview path (accuracy rows below), Kerr a/M=0.9")
+    print(f"# surrogate_infer pipelined={pipelined*1e3:.2f} ms "
+          f"per_call_ms={[round(t*1e3,2) for t in times]} "
+          f"median={np.median(times)*1e3:.2f}", file=sys.stderr)
+
+    m = sur.evaluate_surrogate(jax.random.PRNGKey(2), model, cfg, n=1 << 17)
+    emit("surrogate_kerr_capture_acc", m["capture_acc"], "frac",
+         m["capture_acc"],
+         note="held-out capture/escape classification vs the integrator")
+    emit("surrogate_kerr_dir_err_median", m["dir_err_median_rad"], "rad",
+         m["dir_err_median_rad"] / 7.8e-4,
+         note="vs_baseline = error / flagship pixel angular resolution; "
+         f"p95 = {m['dir_err_p95_rad']:.2e} rad")
+    print(f"# surrogate-eval {m}", file=sys.stderr)
+
+
 # =============================================================================
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", choices=["suite", "flagship", "events",
                                        "integrator", "kerr", "kerr-events",
                                        "render4096", "animation",
-                                       "adaptive", "sharded"],
+                                       "adaptive", "sharded", "surrogate"],
                     default="suite")
     ap.add_argument("--size", type=int, default=1024)
     ap.add_argument("--steps", type=int, default=100,
@@ -804,6 +860,8 @@ def main():
         bench_animation(args.steps)
     if run in ("suite", "adaptive"):
         bench_adaptive(max(3, args.repeat))
+    if run in ("suite", "surrogate"):
+        bench_surrogate(args.repeat)
     if run == "suite":
         bench_render("sky", args.size, args.steps, args.repeat, True)
         # headline row LAST so drivers parsing the final JSON line get it

@@ -71,6 +71,17 @@ def _cmd_render(args):
         img = np.ones((rcfg.height, rcfg.width, 4), rgb.dtype)
         img[y0:y1, x0:x1, :3] = rgb
         print(f"wrote {base}_stokes.npz (I/Q/U) and {base}_pfrac.png")
+    elif cfg.engine == "limited":
+        # Gen-1 sphere-of-influence hybrid engine (reference
+        # LimitedRelativisticRenderEngine; render/limited.py), incl. the
+        # approx surrogate backends: the exact Schwarzschild table or a
+        # trained NeuralSurrogate npz (SceneConfig.surrogate_path).
+        from .io_.config import build_limited
+        from .render import render_limited
+
+        lcfg, table = build_limited(cfg)
+        img = np.asarray(jax.block_until_ready(
+            render_limited(scene, cam, rcfg, lcfg, table=table)))
     else:
         img = None
         unit = "sample" if rcfg.samples > 1 else "band"

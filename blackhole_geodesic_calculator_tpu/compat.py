@@ -442,6 +442,60 @@ def _any_perp(d):
     return p / np.maximum(np.linalg.norm(p, axis=-1, keepdims=True), 1e-20)
 
 
+class ApproxKerrGeodesic:
+    """Learned surrogate for the sphere-of-influence trace around a
+    SPINNING hole — the reference's planned "Tensorflow model"
+    (README.md:237), which a table cannot provide for Kerr (spin breaks the
+    spherical symmetry that makes ``ApproxSchwarzschildGeodesic`` exact).
+
+    Same ``generatedRayTracer`` protocol as the Schwarzschild surrogate
+    (reference call site LimitedRelativisticRenderEngine.py:269).  The MLP
+    is trained on construction against the live integrator
+    (models/surrogate.py) unless ``load_path`` restores a saved one; pass
+    ``save_path`` to persist (the reference's reload-on-parameter-change
+    semantics, LimitedRelativisticRenderEngine.py:96-101, with npz instead
+    of a pickled sklearn/keras object).
+    """
+
+    def __init__(self, ratio_obj_to_blackhole=20.0, exit_tolerance=0.1,
+                 mass=0.5, a=0.45, train_steps=1500, batch=4096,
+                 seed=0, load_path=None, save_path=None, width=128, depth=4):
+        from .models import surrogate as _sur
+
+        self.ratio = float(ratio_obj_to_blackhole)
+        self.exit_tolerance = float(exit_tolerance)
+        self.mass = float(mass)
+        self.a = float(a)
+        self.cfg = _sur.SurrogateConfig(
+            width=width, depth=depth, r_influence=self.ratio,
+            exit_tolerance=self.exit_tolerance)
+        if load_path is not None:
+            self.model = _sur.load_surrogate(load_path)
+        else:
+            self.model, self.history = _sur.train_surrogate(
+                jax.random.PRNGKey(seed), mass=self.mass,
+                spin=(self.a if self.a != 0.0 else None), cfg=self.cfg,
+                steps=train_steps, batch=batch)
+            if save_path is not None:
+                _sur.save_surrogate(save_path, self.model)
+        self._trace = jax.jit(self.model.trace)
+
+    def generatedRayTracer(self, loc, direction):
+        """(entry loc, dir) -> (end_loc, end_dir, mes) via the MLP."""
+        loc = np.asarray(loc, np.float32)
+        d = np.asarray(direction, np.float32)
+        single = loc.ndim == 1
+        if single:
+            loc, d = loc[None], d[None]
+        end_loc, end_dir, cap = self._trace(jnp.asarray(loc), jnp.asarray(d))
+        end_loc, end_dir, cap = _np(end_loc), _np(end_dir), _np(cap)
+        mes = {"hit_blackhole": cap, "start_inside_hole": np.zeros_like(cap)}
+        if single:
+            end_loc, end_dir = end_loc[0], end_dir[0]
+            mes = {k: v[0] for k, v in mes.items()}
+        return end_loc, end_dir, mes
+
+
 class RelativisticCamera:
     """Batched whole-camera geodesic precompute (the Gen-3 backend).
 

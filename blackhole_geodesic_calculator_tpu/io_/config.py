@@ -63,6 +63,25 @@ class SceneConfig:
     disk_pol_frac: float = 0.0
     # Kerr spin (Gen-3 'a', RelativisticRenderEngineCamEdition.py:210)
     spin: float = 0.0
+    # -- Gen-1 'Limited' engine props (LimitedRelativisticRenderEngine.py
+    # :486-506): engine selects between the reference's generations --
+    # 'whole' = whole-scene metric (Gen-2/3), 'limited' = sphere-of-
+    # influence hybrid (Gen-1, render/limited.py).
+    engine: str = "whole"
+    metric: str = "schwarzschild"        # 'schwarzschild' | 'flat' -- the
+    # reference's precise curved-vs-flat comparison backend (:487,90;
+    # README.md:233).  'flat' renders with mass 0 (straight rays, no
+    # horizon) through the SAME pipeline.
+    approx: bool = False                 # surrogate instead of the ODE (:60,499)
+    ratio_obj_to_blackhole: float = 20.0  # influence-sphere radius (:489)
+    exit_tolerance: float = 0.1          # exit-shell thickness (:273-278)
+    test_output: bool = False            # debug gradient background (:390-396)
+    debug_colors: bool = True            # rogue-ray color coding (README.md:234)
+    # Optional npz of a trained models/surrogate.NeuralSurrogate: the
+    # learned (Kerr-capable) approx backend; empty -> the exact-by-symmetry
+    # Schwarzschild table is built on the fly (reference reload semantics,
+    # :96-101).
+    surrogate_path: str = ""
 
     # -- scene content (Blender objects in the reference) -----------------
     bh_loc: tuple = (0.0, 0.0, 0.0)
@@ -178,9 +197,18 @@ def build_scene(cfg: SceneConfig) -> tuple[Scene, Camera, RenderConfig]:
         lights = Lights.make(position=cfg.lights,
                              intensity=cfg.light_intensity)
 
+    if cfg.metric not in ("schwarzschild", "flat"):
+        raise ValueError(f"unknown metric {cfg.metric!r} "
+                         "(expected 'schwarzschild' or 'flat')")
+    if cfg.engine not in ("whole", "limited"):
+        raise ValueError(f"unknown engine {cfg.engine!r} "
+                         "(expected 'whole' or 'limited')")
+    # metric='flat': the reference's validation backend (straight rays) --
+    # mass 0 turns the Kerr-Schild potential off exactly.
+    mass = 0.0 if cfg.metric == "flat" else cfg.mass
+    spin = None if cfg.metric == "flat" else (cfg.spin if cfg.spin else None)
     scene = Scene(
-        bh=BlackHole.make(mass=cfg.mass, loc=cfg.bh_loc,
-                          spin=cfg.spin if cfg.spin else None),
+        bh=BlackHole.make(mass=mass, loc=cfg.bh_loc, spin=spin),
         background=background, disk=disk, spheres=spheres, lights=lights)
 
     cam = Camera.make(position=cfg.camera_location,
@@ -203,3 +231,30 @@ def build_scene(cfg: SceneConfig) -> tuple[Scene, Camera, RenderConfig]:
         mark_x_min=cfg.mark_x_min, mark_x_max=cfg.mark_x_max,
         mark_y_min=cfg.mark_y_min, mark_y_max=cfg.mark_y_max)
     return scene, cam, render_cfg
+
+
+def build_limited(cfg: SceneConfig):
+    """SceneConfig -> (LimitedConfig, surrogate table or None) for the
+    Gen-1 engine (``engine='limited'``).
+
+    The surrogate backend follows the reference's approx semantics
+    (LimitedRelativisticRenderEngine.py:60,96-101,499): with
+    ``surrogate_path`` a trained ``models/surrogate.NeuralSurrogate`` npz is
+    loaded (the learned Kerr-capable path); otherwise ``render_limited``
+    builds the exact-by-symmetry Schwarzschild table on the fly.
+    """
+    from ..render.limited import LimitedConfig
+
+    lcfg = LimitedConfig(
+        r_influence=cfg.ratio_obj_to_blackhole,
+        exit_tolerance=cfg.exit_tolerance,
+        test_output=cfg.test_output,
+        debug_colors=cfg.debug_colors,
+        approx=cfg.approx,
+    )
+    table = None
+    if cfg.approx and cfg.surrogate_path:
+        from ..models.surrogate import load_surrogate
+
+        table = load_surrogate(cfg.surrogate_path)
+    return lcfg, table

@@ -241,9 +241,18 @@ def render_limited_rays(scene: Scene, cam: Camera, cfg: RenderConfig,
         disk = None
         if scene.disk is not None:
             disk = DiskGeom(r_in=scene.disk.r_in, r_out=scene.disk.r_out)
+        if scene.bh.spin is None:
+            r_cap = 2.0 * scene.bh.mass
+        else:
+            # Kerr outer horizon r_+ = M + sqrt(M^2 - a^2) < 2M; capturing
+            # at 2M would swallow prograde photon-orbit rays (the a/M=0.9
+            # prograde photon circle sits at ~1.56 M).
+            from ..models.kerr import horizon_radius
+
+            r_cap = horizon_radius(scene.bh.mass, scene.bh.spin)
         env = GeodesicEnv(
             mass=scene.bh.mass, spin=scene.bh.spin,
-            r_capture=2.0 * scene.bh.mass,
+            r_capture=r_cap,
             r_escape=jnp.asarray(
                 lcfg.r_influence * (1.0 + lcfg.exit_tolerance), jnp.float32),
             lam_max=jnp.asarray(cfg.lam_max, jnp.float32),
@@ -348,6 +357,13 @@ def render_limited(scene: Scene, cam: Camera, cfg: RenderConfig,
     if key is None:
         key = jax.random.PRNGKey(cfg.seed)
     if lcfg.approx and table is None:
+        if scene.bh.spin is not None:
+            raise ValueError(
+                "approx mode for a spinning hole needs a learned surrogate "
+                "(the 1D table is exact only under spherical symmetry): "
+                "train one with models.surrogate.train_surrogate and pass "
+                "it as `table=`, or load an npz via SceneConfig."
+                "surrogate_path")
         table = SurrogateTable.build(
             mass=float(scene.bh.mass), r_influence=lcfg.r_influence,
             exit_tolerance=lcfg.exit_tolerance)

@@ -341,3 +341,100 @@ def test_readme_perf_table_matches_artifact():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     assert mod.main(["--check"]) == 0
+
+
+def test_cli_render_limited_engine(tmp_path):
+    """SceneConfig.engine='limited' routes the CLI through the Gen-1
+    sphere-of-influence hybrid (reference LimitedRelativisticRenderEngine
+    PROPS :486-506, now first-class config keys)."""
+    from blackhole_geodesic_calculator_tpu.cli import main
+
+    cfg = SceneConfig(width=16, height=16, n_steps=128,
+                      max_integration_step=0.2, engine="limited",
+                      ratio_obj_to_blackhole=10.0,
+                      camera_location=(0.0, 0.0, 40.0),
+                      field_of_view_x=0.6, field_of_view_y=0.6)
+    cp = str(tmp_path / "scene.json")
+    with open(cp, "w") as f:
+        f.write(cfg.to_json())
+    out = str(tmp_path / "lim.png")
+    main(["render", cp, "-o", out])
+    img = read_image(out)
+    assert img.shape == (16, 16, 3)
+    assert img[8, 8].max() < 0.05          # shadow through the hybrid too
+
+
+def test_cli_render_limited_approx_surrogate_npz(tmp_path):
+    """approx + surrogate_path: a trained NeuralSurrogate npz is the CLI's
+    learned approx backend (reference approx prop :60,499 + its planned
+    'Tensorflow model', README.md:237)."""
+    import jax
+
+    from blackhole_geodesic_calculator_tpu.cli import main
+    from blackhole_geodesic_calculator_tpu.models.surrogate import (
+        NeuralSurrogate, SurrogateConfig, init_params, save_surrogate)
+
+    scfg = SurrogateConfig(width=32, depth=2, r_influence=10.0)
+    sur = NeuralSurrogate(params=init_params(jax.random.PRNGKey(0), scfg),
+                          mass=jnp.asarray(0.5), spin=jnp.asarray(0.0),
+                          r_influence=jnp.asarray(10.0))
+    spath = str(tmp_path / "sur.npz")
+    save_surrogate(spath, sur)
+    cfg = SceneConfig(width=12, height=12, engine="limited", approx=True,
+                      ratio_obj_to_blackhole=10.0, surrogate_path=spath,
+                      camera_location=(0.0, 0.0, 40.0),
+                      field_of_view_x=0.6, field_of_view_y=0.6)
+    cp = str(tmp_path / "scene.json")
+    with open(cp, "w") as f:
+        f.write(cfg.to_json())
+    out = str(tmp_path / "apx.png")
+    main(["render", cp, "-o", out])
+    assert read_image(out).shape == (12, 12, 3)
+
+
+def test_flat_metric_renders_no_shadow():
+    """metric='flat' (reference README.md:233, the curved-vs-flat precise
+    comparison backend): rays go straight, so a hole-centered camera sees
+    pure background -- through the SAME pipeline as the curved render."""
+    from blackhole_geodesic_calculator_tpu.render import render_image
+
+    sky = jnp.ones((8, 16, 3), jnp.float32) * jnp.asarray([0.2, 0.5, 0.8])
+    cfg = SceneConfig(width=8, height=8, n_steps=64,
+                      max_integration_step=0.3, metric="flat")
+    import dataclasses
+
+    scene, cam, rcfg = build_scene(cfg)
+    scene = dataclasses.replace(scene, background=sky)
+    img = np.asarray(render_image(scene, cam, rcfg))
+    # every pixel is the (constant) background: no shadow anywhere
+    assert np.allclose(img[..., :3], np.asarray([0.2, 0.5, 0.8]), atol=1e-3)
+
+
+def test_config_rejects_unknown_engine_and_metric():
+    with pytest.raises(ValueError, match="engine"):
+        build_scene(SceneConfig(engine="blender"))
+    with pytest.raises(ValueError, match="metric"):
+        build_scene(SceneConfig(metric="kerr-newman"))
+
+
+def test_examples_tutorial_runs(tmp_path):
+    """examples/tutorial.py is the executable stand-in for the reference's
+    promised tutorial notebook (README.md:248-250): it must run clean from
+    a fresh checkout."""
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ,
+               PYTHONPATH=root,
+               JAX_PLATFORMS="cpu",
+               XLA_FLAGS=(os.environ.get("XLA_FLAGS", "")
+                          + " --xla_force_host_platform_device_count=8"))
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "examples", "tutorial.py"),
+         "--outdir", str(tmp_path), "--size", "64"],
+        capture_output=True, text=True, timeout=900, env=env)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "tutorial done" in r.stdout
+    assert os.path.exists(tmp_path / "tutorial_disk.png")
+    assert os.path.exists(tmp_path / "tutorial_polfrac.png")

@@ -159,3 +159,26 @@ def test_render_stats():
     assert st["status"]["captured"] > 0 and st["status"]["escaped"] > 0
     assert st["rogue_fraction"] == 0.0
     assert st["settings"]["mass"] == 0.5
+
+
+def test_limited_kerr_capture_radius_matches_whole_scene():
+    """The hybrid engine must capture at the Kerr outer horizon
+    r_+ = M + sqrt(M^2 - a^2), not at the Schwarzschild 2M: for an
+    EQUATORIAL observer at a/M = 0.9 the prograde shadow-edge photons pass
+    near the prograde photon orbit (~1.56 M = 0.78), inside a 2M = 1.0
+    capture sphere -- a 2M capture measurably inflates the shadow (464 vs
+    457 black pixels in this config).  Gate: the hybrid's shadow pixel
+    count matches the whole-scene Kerr render's (which uses
+    horizon_radius) almost exactly."""
+    cam = Camera.make(position=(0.0, -40.0, 0.0),
+                      euler=(np.pi / 2, 0.0, 0.0), fov=(0.25, 0.25))
+    cfg = RenderConfig(width=48, height=48, samples=1,
+                       integrator=IntegratorConfig(n_steps=600, dt=0.05),
+                       lam_max=300.0)
+    scene = Scene(bh=BlackHole.make(mass=0.5, spin=0.45), background=sky())
+    img_l = np.asarray(render_limited(scene, cam, cfg, LCFG))
+    img_w = np.asarray(render_image(scene, cam, cfg))
+    black_l = int((img_l[..., :3].max(-1) < 1e-3).sum())
+    black_w = int((img_w[..., :3].max(-1) < 1e-3).sum())
+    assert black_w > 100
+    assert abs(black_l - black_w) <= 4, (black_l, black_w)

@@ -75,6 +75,14 @@ LABELS = {
     "adaptive_vs_fixed_max_escape_dir_err":
         "adaptive-vs-fixed worst escape-direction disagreement "
         "(both independently oracle-validated)",
+    "surrogate_kerr_rays_per_s":
+        "**learned Kerr scattering surrogate** (128×4 MLP, bf16 MXU "
+        "inference; trained on-chip against the Pallas integrator)",
+    "surrogate_kerr_capture_acc":
+        "surrogate held-out capture-classification accuracy vs the "
+        "integrator",
+    "surrogate_kerr_dir_err_median":
+        "surrogate median escape-direction error",
 }
 
 
@@ -86,12 +94,16 @@ def _fmt(row):
         return f"**{v:.2f} frames/s**"
     if unit == "rad":
         return f"{v:.2e} rad"
+    if unit == "frac":
+        return f"{100.0 * v:.2f}%"
     return f"{v:g} {unit}"
 
 
 def _vs(row):
     if row["unit"] == "rad":
         return f"{row['vs_baseline']:.2f}× flagship pixel resolution"
+    if row["unit"] == "frac":
+        return "—"
     return f"{row['vs_baseline']:.1f}×"
 
 
