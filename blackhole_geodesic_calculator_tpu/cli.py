@@ -189,6 +189,38 @@ def _cmd_precompute(args):
     print(f"wrote {args.out} ({time.perf_counter() - t0:.1f}s)")
 
 
+def _cmd_train_surrogate(args):
+    """Train the learned scattering surrogate against the live integrator
+    and save it as npz (loadable via SceneConfig.surrogate_path or
+    models.surrogate.load_surrogate) -- the CLI face of the reference's
+    planned 'Tensorflow model' approx backend (README.md:237)."""
+    import jax
+
+    from .models.surrogate import (SurrogateConfig, evaluate_surrogate,
+                                   save_surrogate, train_surrogate)
+
+    cfg = SurrogateConfig(width=args.width, depth=args.depth,
+                          r_influence=args.ratio,
+                          exit_tolerance=args.exit_tolerance)
+    t0 = time.perf_counter()
+    sur, hist = train_surrogate(
+        jax.random.PRNGKey(args.seed), mass=args.mass,
+        spin=(args.a if args.a != 0.0 else None), cfg=cfg,
+        steps=args.steps, batch=args.batch, log_every=max(args.steps // 10,
+                                                          1))
+    m = evaluate_surrogate(jax.random.PRNGKey(args.seed + 1), sur, cfg,
+                           n=1 << 15)
+    save_surrogate(args.out, sur)
+    print(f"trained {args.steps} steps x {args.batch} rays in "
+          f"{time.perf_counter() - t0:.1f}s; loss "
+          f"{hist['loss'][0]:.3f} -> {hist['loss'][-1]:.3f}")
+    print(f"held-out vs integrator: capture acc "
+          f"{100 * m['capture_acc']:.2f}%, median dir err "
+          f"{m['dir_err_median_rad']:.2e} rad (p95 "
+          f"{m['dir_err_p95_rad']:.2e})")
+    print(f"wrote {args.out}")
+
+
 def _cmd_profile_train(args):
     """Profile ONE sharded training step (the BASELINE config-5 shape:
     ray-sharded render, replicated params, gradient all-reduce) and report
@@ -347,6 +379,23 @@ def main(argv=None):
     p.add_argument("--max-step", type=float, default=0.1)
     p.add_argument("--curve-end", type=float, default=100.0)
     p.set_defaults(fn=_cmd_precompute)
+
+    p = sub.add_parser("train-surrogate",
+                       help="train the learned (MLP) scattering surrogate "
+                       "against the integrator -> npz")
+    p.add_argument("-o", "--out", default="surrogate.npz")
+    p.add_argument("--mass", type=float, default=0.5)
+    p.add_argument("--a", type=float, default=0.45,
+                   help="Kerr spin (0 -> Schwarzschild)")
+    p.add_argument("--ratio", type=float, default=20.0,
+                   help="influence-sphere radius (ratio_obj_to_blackhole)")
+    p.add_argument("--exit-tolerance", type=float, default=0.1)
+    p.add_argument("--steps", type=int, default=5000)
+    p.add_argument("--batch", type=int, default=8192)
+    p.add_argument("--width", type=int, default=128)
+    p.add_argument("--depth", type=int, default=4)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=_cmd_train_surrogate)
 
     p = sub.add_parser("profile-train",
                        help="profile one sharded training step: op table "
