@@ -46,6 +46,12 @@ def _cmd_render(args):
         print(json.dumps(st, indent=2))
 
     t0 = time.perf_counter()
+    if args.stokes and cfg.engine == "limited":
+        # no polarized path exists for the Gen-1 hybrid; silently falling
+        # back to the whole-scene engine would mislabel the output
+        raise SystemExit("--stokes is not supported with engine='limited' "
+                         "(polarized rendering is a whole-scene path); "
+                         "drop --stokes or set engine='whole'")
     if args.stokes:
         # Polarized rendering: Stokes I/Q/U (render.render_stokes; needs a
         # disk with pol_frac, e.g. SceneConfig.disk_pol_frac > 0).  The RGB
@@ -208,9 +214,10 @@ def _cmd_train_surrogate(args):
         spin=(args.a if args.a != 0.0 else None), cfg=cfg,
         steps=args.steps, batch=args.batch, log_every=max(args.steps // 10,
                                                           1))
+    # save FIRST: an eval hiccup must not discard a finished training run
+    save_surrogate(args.out, sur)
     m = evaluate_surrogate(jax.random.PRNGKey(args.seed + 1), sur, cfg,
                            n=1 << 15)
-    save_surrogate(args.out, sur)
     print(f"trained {args.steps} steps x {args.batch} rays in "
           f"{time.perf_counter() - t0:.1f}s; loss "
           f"{hist['loss'][0]:.3f} -> {hist['loss'][-1]:.3f}")

@@ -471,6 +471,7 @@ class ApproxKerrGeodesic:
             exit_tolerance=self.exit_tolerance)
         if load_path is not None:
             self.model = _sur.load_surrogate(load_path)
+            self.history = None
         else:
             self.model, self.history = _sur.train_surrogate(
                 jax.random.PRNGKey(seed), mass=self.mass,

@@ -257,4 +257,31 @@ def build_limited(cfg: SceneConfig):
         from ..models.surrogate import load_surrogate
 
         table = load_surrogate(cfg.surrogate_path)
+        # A surrogate is only valid for the geometry/physics it was trained
+        # on (the npz stores them for exactly this check -- the reference's
+        # reload-on-parameter-change semantics, :96-101); a mismatch would
+        # render silently wrong physics.
+        mass = 0.0 if cfg.metric == "flat" else cfg.mass
+        spin = 0.0 if cfg.metric == "flat" else cfg.spin
+        mismatches = [
+            (name, got, want)
+            for name, got, want in (
+                ("mass", float(table.mass), mass),
+                ("spin", float(table.spin), spin),
+                ("ratio_obj_to_blackhole", float(table.r_influence),
+                 cfg.ratio_obj_to_blackhole),
+                ("exit_tolerance",
+                 float(table.r_exit) / float(table.r_influence) - 1.0
+                 if table.r_exit is not None else cfg.exit_tolerance,
+                 cfg.exit_tolerance),
+            )
+            if abs(got - want) > 1e-4 * max(abs(want), 1.0)
+        ]
+        if mismatches:
+            detail = ", ".join(f"{n}: surrogate={g:g} vs config={w:g}"
+                               for n, g, w in mismatches)
+            raise ValueError(
+                f"surrogate {cfg.surrogate_path!r} was trained for a "
+                f"different setup ({detail}); retrain with "
+                f"`bhgc-tpu train-surrogate` matching this config")
     return lcfg, table

@@ -235,12 +235,14 @@ class NeuralSurrogate:
 # Labeling with the real integrator.
 # =============================================================================
 def _label_env(mass, spin, cfg: SurrogateConfig) -> GeodesicEnv:
+    from .kerr import horizon_radius
+
     mass = jnp.asarray(mass, jnp.float32)
     if spin is None:
         r_cap, sp = 2.0 * mass, None
     else:
         sp = jnp.asarray(spin, jnp.float32)
-        r_cap = mass + jnp.sqrt(jnp.maximum(mass * mass - sp * sp, 0.0))
+        r_cap = horizon_radius(mass, sp)
         sp = None if float(spin) == 0.0 else sp
     return GeodesicEnv(
         mass=mass,

@@ -76,16 +76,12 @@ def _inv_perm(cfg: RenderConfig, n_shards: int):
     candidates hold pixel 0's color)."""
     import numpy as np
 
-    x0, x1, y0, y1 = cfg.crop()
-    n = (y1 - y0) * (x1 - x0)
-    pad = (-n) % n_shards
-    total = n + pad
-    slot = np.arange(total)
-    per = total // n_shards
-    perm = (slot % per) * n_shards + slot // per
-    perm = np.where(perm < n, perm, 0)
+    # Invert the SAME perm _flat_pixels_cached deals (rather than
+    # re-deriving the formula, which could silently drift from the deal).
+    _, _, perm, n = _flat_pixels_cached(cfg, n_shards)
+    perm = np.asarray(perm)
     inv = np.zeros(n, np.int32)
-    inv[perm] = slot
+    inv[perm] = np.arange(perm.shape[0], dtype=np.int32)
     return inv
 
 

@@ -481,3 +481,50 @@ def test_parameter_study_runs(tmp_path):
     with open(tmp_path / "parameter_study.json") as f:
         rep = json.load(f)
     assert {"shadow_edges", "deflection", "disk_asymmetry"} <= set(rep)
+
+
+def test_surrogate_path_mismatch_rejected(tmp_path):
+    """A loaded surrogate npz must match the scene it renders (mass, spin,
+    influence radius): a mismatch renders silently wrong physics, so
+    build_limited refuses it."""
+    import jax
+
+    from blackhole_geodesic_calculator_tpu.io_.config import build_limited
+    from blackhole_geodesic_calculator_tpu.models.surrogate import (
+        NeuralSurrogate, SurrogateConfig, init_params, save_surrogate)
+
+    scfg = SurrogateConfig(width=32, depth=2, r_influence=12.0)
+    sur = NeuralSurrogate(params=init_params(jax.random.PRNGKey(0), scfg),
+                          mass=jnp.asarray(0.5), spin=jnp.asarray(0.45),
+                          r_influence=jnp.asarray(12.0),
+                          r_exit=jnp.asarray(13.2))
+    p = str(tmp_path / "s.npz")
+    save_surrogate(p, sur)
+
+    # matching config loads fine
+    ok = SceneConfig(engine="limited", approx=True, mass=0.5, spin=0.45,
+                     ratio_obj_to_blackhole=12.0, surrogate_path=p)
+    _, table = build_limited(ok)
+    assert table is not None
+
+    # radius mismatch refused with a pointed message
+    bad = SceneConfig(engine="limited", approx=True, mass=0.5, spin=0.45,
+                      ratio_obj_to_blackhole=20.0, surrogate_path=p)
+    with pytest.raises(ValueError, match="ratio_obj_to_blackhole"):
+        build_limited(bad)
+    # physics mismatch refused too
+    bad2 = SceneConfig(engine="limited", approx=True, mass=0.7, spin=0.45,
+                       ratio_obj_to_blackhole=12.0, surrogate_path=p)
+    with pytest.raises(ValueError, match="mass"):
+        build_limited(bad2)
+
+
+def test_cli_stokes_rejects_limited_engine(tmp_path):
+    from blackhole_geodesic_calculator_tpu.cli import main
+
+    cfg = SceneConfig(width=8, height=8, engine="limited")
+    cp = str(tmp_path / "s.json")
+    with open(cp, "w") as f:
+        f.write(cfg.to_json())
+    with pytest.raises(SystemExit, match="stokes"):
+        main(["render", cp, "-o", str(tmp_path / "x.png"), "--stokes"])
