@@ -86,3 +86,57 @@ def test_rhs_is_jit_and_grad_safe():
     eps = 1e-3
     fd = (loss(M + eps) - loss(M - eps)) / (2 * eps)
     np.testing.assert_allclose(float(g), float(fd), rtol=2e-2)
+
+
+def test_ergosphere_forces_corotation():
+    """THE frame-dragging statement: inside the Kerr ergosphere (r_+ < r <
+    2M on the equator) every future-directed null ray must co-rotate with
+    the hole -- d(phi_BL)/dt > 0 -- and some coordinate directions admit no
+    null ray at all (null_init's guard returns E = 0 for them); outside
+    the static limit both restrictions vanish.
+
+    The KS azimuth is converted to Boyer-Lindquist via the chart twist
+    phi_BL = phi_KS - int a/Delta dr (so the check is chart-independent);
+    dt/dlambda = (1+q) E + q l.p from the inverse metric row g^{t mu}.
+    """
+    import jax
+
+    from blackhole_geodesic_calculator_tpu.models.kerr import ks_radius
+    from blackhole_geodesic_calculator_tpu.ops.geodesic import (
+        ks_fields, null_init, xdot,
+    )
+
+    M, a = 0.5, 0.45
+    n = 2048
+
+    def dphi_dt(r_bl):
+        rho = np.sqrt(r_bl**2 + a**2)
+        ang = jax.random.uniform(jax.random.PRNGKey(0), (n,),
+                                 minval=0.0, maxval=2.0 * np.pi)
+        x = jnp.stack([rho * jnp.cos(ang), rho * jnp.sin(ang),
+                       jnp.zeros(n)], -1)
+        d = jax.random.normal(jax.random.PRNGKey(1), (n, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        p, E = null_init(x, d, M, a)
+        q, l3, _ = ks_fields(x, M, a)
+        v = xdot(x, p, E, M, a)
+        dt = (1.0 + q) * E + q * jnp.sum(l3 * p, -1)
+        r = ks_radius(x, a)
+        dr = (x[:, 0] * v[:, 0] + x[:, 1] * v[:, 1]) / r
+        delta = r * r - 2.0 * M * r + a * a
+        dphi_bl = ((x[:, 0] * v[:, 1] - x[:, 1] * v[:, 0]) / (rho * rho)
+                   - a / delta * dr)
+        future = (np.asarray(E) > 1e-6) & (np.asarray(dt) > 1e-6)
+        return np.asarray(dphi_bl / dt)[future], future.mean()
+
+    # deep in the ergosphere: strict co-rotation AND forbidden directions
+    for r_bl in (0.80, 0.95):
+        rate, frac = dphi_dt(r_bl)
+        assert rate.min() > 0.0, (r_bl, rate.min())
+        assert frac < 0.95, (r_bl, frac)   # some directions unphysical
+    # outside the static limit (r > 2M = 1): counter-rotation is allowed
+    # and every direction is a valid null direction
+    for r_bl in (1.05, 1.5):
+        rate, frac = dphi_dt(r_bl)
+        assert rate.min() < 0.0, (r_bl, rate.min())
+        assert frac == 1.0, (r_bl, frac)
