@@ -41,8 +41,11 @@ def _flat_pixels(cfg: RenderConfig, n_shards: int):
     """Flattened (ys, xs) of the crop window, dealt round-robin over shards
     and padded so every shard gets the same count.  Returns (ys, xs, perm,
     n_valid) -- ``perm[i]`` is the flat crop-pixel index that ray slot i
-    serves; framebuffer assembly uses the static inverse (_inv_perm) as a
-    GATHER ``rgb[inv]`` (the scatter form serializes on TPU)."""
+    serves; framebuffer assembly inverts the deal by LAYOUT (_undeal_cm:
+    a channel-major reshape/transpose/slice) -- both an arbitrary-index
+    scatter (``at[perm].set``, 41 ms/1024^2) and an arbitrary-index gather
+    (``rgb[inv]``, 384 ms/4096^2) serialize on TPU, while the transpose is
+    a fast regular copy."""
     return _flat_pixels_cached(cfg, n_shards)
 
 
@@ -64,42 +67,43 @@ def _flat_pixels_cached(cfg: RenderConfig, n_shards: int):
     return ys, xs, perm, n
 
 
-@functools.lru_cache(maxsize=64)
-def _inv_perm(cfg: RenderConfig, n_shards: int):
-    """Static inverse of the round-robin deal: ``inv[pixel]`` is the ray
-    slot that serves flat crop pixel ``pixel``.  Computed on the host so
-    framebuffer assembly is a GATHER ``out = rgb[inv]`` -- on TPU an
-    arbitrary-index scatter ``zeros.at[perm].set(rgb)`` runs on the slow
-    serial scatter unit (measured 41 ms for a 1024^2 frame, 3x the render
-    itself), while the equivalent gather vectorizes (<1 ms).  Padding slots
-    re-trace pixel 0, so duplicate writes during inversion are benign (all
-    candidates hold pixel 0's color)."""
-    import numpy as np
+def _undeal_cm(flat_cm, n_shards, n):
+    """Invert the round-robin deal by layout instead of indexing:
+    (C, total) slot-ordered channels -> (C, n) pixel-ordered.
 
-    # Invert the SAME perm _flat_pixels_cached deals (rather than
-    # re-deriving the formula, which could silently drift from the deal).
-    _, _, perm, n = _flat_pixels_cached(cfg, n_shards)
-    perm = np.asarray(perm)
-    inv = np.zeros(n, np.int32)
-    inv[perm] = np.arange(perm.shape[0], dtype=np.int32)
-    return inv
+    The deal maps slot s*per + j -> pixel j*n_shards + s
+    (_flat_pixels_cached), so pixel order is the (per, n_shards) transpose
+    of the (n_shards, per) slot view; padding slots land at positions >= n
+    and are sliced off.  With one shard the deal is the identity.  On TPU
+    the transpose is a fast regular copy, whereas the arbitrary-index
+    forms serialize on the scatter/gather unit (measured: ``at[perm].set``
+    41 ms for a 1024^2 frame; ``rgb[inv]`` 384 ms of a 543 ms 4096^2
+    sharded frame).  The assembly works channel-major so the HUGE axis stays
+    minor-most through every reshape/transpose: pixel-major [total, C]
+    temps get XLA's (8, 128) tiling on their C-sized minor dim, padding
+    them 128/C x (observed 42.7x = 16 GB of HLO temp at 4096^2 -- the
+    program fails to compile).
+    """
+    if n_shards == 1:
+        return flat_cm[..., :n]
+    C, total = flat_cm.shape
+    per = total // n_shards
+    t = flat_cm.reshape(C, n_shards, per)
+    return jnp.swapaxes(t, 1, 2).reshape(C, total)[:, :n]
 
 
 @functools.lru_cache(maxsize=64)
 def _sharded_pixels(mesh: Mesh, cfg: RenderConfig):
     """Device-resident sharded pixel plumbing, cached per (mesh, cfg):
-    (ys, xs) sharded over the ray axis and the replicated gather-back
-    ``inv`` (see _inv_perm).  The grids are deterministic functions of the
-    static config, so warm render/train loops skip the per-call
-    host->device puts and the index math entirely -- without this, dispatch
-    of the ~ms-scale sharded render is serialized behind ~10 host ops per
-    frame."""
+    (ys, xs) sharded over the ray axis.  The grids are deterministic
+    functions of the static config, so warm render/train loops skip the
+    per-call host->device puts and the index math entirely -- without this,
+    dispatch of the ~ms-scale sharded render is serialized behind ~10 host
+    ops per frame."""
     n_ray = mesh.shape[RAY_AXIS]
     ys, xs, _, _ = _flat_pixels(cfg, n_ray)
     shard = NamedSharding(mesh, P(RAY_AXIS))
-    repl = NamedSharding(mesh, P())
-    return (put_global(ys, shard), put_global(xs, shard),
-            put_global(jnp.asarray(_inv_perm(cfg, n_ray)), repl))
+    return put_global(ys, shard), put_global(xs, shard)
 
 
 @functools.lru_cache(maxsize=64)
@@ -114,9 +118,30 @@ def _sharded_render_fn(mesh: Mesh, cfg: RenderConfig, multisample: bool):
     x0, x1, y0, y1 = cfg.crop()
     hc, wc = y1 - y0, x1 - x0
 
+    # Per-shard ray batches beyond ~1M rays are processed in lax.map
+    # chunks: at 4096^2 the one-shot shading pipeline materializes
+    # [16.7M, 12] texture-gather and [16.7M, 3] select temps whose (8,128)
+    # lane tiling pads them ~43x (16 GB of HLO temp -- the program fails
+    # to compile); chunking bounds every such temp to CHUNK rays with no
+    # change in values (the integrator's cost-tile reorder happens per
+    # call, i.e. per chunk).
+    CHUNK = 1 << 20
+
+    def _render_chunked(scene, cam, ys, xs):
+        n_loc = ys.shape[0]
+        if n_loc <= CHUNK or n_loc % CHUNK != 0:
+            return render_rays(scene, cam, cfg, ys, xs, None)
+        rgb = jax.lax.map(
+            lambda c: render_rays(scene, cam, cfg, c[0], c[1], None),
+            (ys.reshape(-1, CHUNK), xs.reshape(-1, CHUNK)))
+        return rgb.reshape(n_loc, 3)
+
     def local(scene, cam, keys, ys, xs):
         if not multisample:
-            return render_rays(scene, cam, cfg, ys, xs, None)
+            return _render_chunked(scene, cam, ys, xs)
+        # multisample keeps the one-shot form: the jitter stream is
+        # shape-dependent (camera.generate_rays), so chunking would change
+        # sample values; huge deterministic previews are the chunked case
         rgb = jnp.mean(
             jax.vmap(lambda k: render_rays(scene, cam, cfg, ys, xs, k))(keys),
             axis=0,
@@ -130,12 +155,15 @@ def _sharded_render_fn(mesh: Mesh, cfg: RenderConfig, multisample: bool):
         check_vma=False,
     )
 
-    def full(scene, cam, keys, ys, xs, inv):
+    n_ray = mesh.shape[RAY_AXIS]
+
+    def full(scene, cam, keys, ys, xs):
         rgb = local_sm(scene, cam, keys, ys, xs)
-        # gather-back (see _inv_perm: the equivalent at[perm].set scatter
-        # costs 41 ms on TPU for a 1024^2 frame; the gather is <1 ms)
-        frame = jnp.ones((cfg.height, cfg.width, 4), rgb.dtype)
-        return frame.at[y0:y1, x0:x1, :3].set(rgb[inv].reshape(hc, wc, 3))
+        # channel-major assembly (see _undeal_cm), (H, W, 4) only at the end
+        img = _undeal_cm(rgb.T, n_ray, hc * wc).reshape(3, hc, wc)
+        frame = jnp.ones((4, cfg.height, cfg.width), rgb.dtype)
+        frame = frame.at[:3, y0:y1, x0:x1].set(img)
+        return jnp.transpose(frame, (1, 2, 0))
 
     return jax.jit(full, out_shardings=NamedSharding(mesh, P()))
 
@@ -163,7 +191,7 @@ def render_image_sharded(
             f"'{SAMPLE_AXIS}' extent {n_smp}"
         )
 
-    ys, xs, inv = _sharded_pixels(mesh, cfg)
+    ys, xs = _sharded_pixels(mesh, cfg)
     repl = NamedSharding(mesh, P())
     scene = put_global(scene, repl)
     cam = put_global(cam, repl)
@@ -184,7 +212,7 @@ def render_image_sharded(
         )
 
     return _sharded_render_fn(mesh, cfg, multisample)(
-        scene, cam, keys, ys, xs, inv)
+        scene, cam, keys, ys, xs)
 
 
 def render_stokes_sharded(
@@ -204,10 +232,10 @@ def render_stokes_sharded(
     replicated on every device/host."""
     if mesh is None:
         mesh = make_mesh()
-    ys, xs, inv = _sharded_pixels(mesh, cfg)
+    ys, xs = _sharded_pixels(mesh, cfg)
     repl = NamedSharding(mesh, P())
     return _sharded_stokes_fn(mesh, cfg)(
-        put_global(scene, repl), put_global(cam, repl), ys, xs, inv)
+        put_global(scene, repl), put_global(cam, repl), ys, xs)
 
 
 @functools.lru_cache(maxsize=64)
@@ -226,11 +254,15 @@ def _sharded_stokes_fn(mesh: Mesh, cfg: RenderConfig):
         check_vma=False,
     )
 
-    def full(scene, cam, ys, xs, inv):
+    n_ray = mesh.shape[RAY_AXIS]
+
+    def full(scene, cam, ys, xs):
         rgb, q, u = local_sm(scene, cam, ys, xs)
-        # gather-back (see _inv_perm: scatter would serialize on TPU)
-        return (rgb[inv].reshape(hc, wc, 3), q[inv].reshape(hc, wc),
-                u[inv].reshape(hc, wc))
+        n = hc * wc
+        img = _undeal_cm(rgb.T, n_ray, n).reshape(3, hc, wc)
+        return (jnp.transpose(img, (1, 2, 0)),
+                _undeal_cm(q[None], n_ray, n).reshape(hc, wc),
+                _undeal_cm(u[None], n_ray, n).reshape(hc, wc))
 
     repl = NamedSharding(mesh, P())
     return jax.jit(full, out_shardings=(repl, repl, repl))
@@ -250,10 +282,10 @@ def polarization_map_sharded(
     Returns (Hc, Wc) with NaN at captured/error pixels."""
     if mesh is None:
         mesh = make_mesh()
-    ys, xs, inv = _sharded_pixels(mesh, cfg)
+    ys, xs = _sharded_pixels(mesh, cfg)
     repl = NamedSharding(mesh, P())
     return _sharded_polarization_fn(mesh, cfg)(
-        put_global(scene, repl), put_global(cam, repl), ys, xs, inv)
+        put_global(scene, repl), put_global(cam, repl), ys, xs)
 
 
 @functools.lru_cache(maxsize=64)
@@ -272,8 +304,11 @@ def _sharded_polarization_fn(mesh: Mesh, cfg: RenderConfig):
         check_vma=False,
     )
 
-    def full(scene, cam, ys, xs, inv):
-        # gather-back (see _inv_perm); NaN masking lives in ang itself
-        return local_sm(scene, cam, ys, xs)[inv].reshape(hc, wc)
+    n_ray = mesh.shape[RAY_AXIS]
+
+    def full(scene, cam, ys, xs):
+        # NaN masking lives in ang itself
+        return _undeal_cm(local_sm(scene, cam, ys, xs)[None], n_ray,
+                          hc * wc).reshape(hc, wc)
 
     return jax.jit(full, out_shardings=NamedSharding(mesh, P()))
