@@ -208,20 +208,19 @@ class GeodesicIntegratorSchwarzschild:
         n = x0.shape[0]
         r_cap = 2.0 * self.mass if self.spin is None else (
             self.mass + np.sqrt(max(self.mass ** 2 - self.spin ** 2, 0.0)))
-        kw = dict(mass=self.mass, spin=self.spin, r_capture=r_cap,
-                  r_escape=r_escape, lam_max=curve_end, max_step=max_step)
-        xs, ks, lams, statuses = [], [], [], []
-        for i in range(n):
-            tx, tp, tl, st, _ = native.trajectory(
-                x0[i], d0[i], max_points=int(nr_points_curve), **kw)
-            _, E = native.null_init(x0[i], d0[i], self.mass, self.spin)
-            # velocities for the whole polyline in one library call
-            v, _ = native.rhs_batch(tx, tp, E, self.mass, self.spin)
-            xs.append(tx)
-            ks.append(v)
-            lams.append(tl[-1] if len(tl) else 0.0)
-            statuses.append(st)
-        status = np.asarray(statuses, np.int32)
+        # One ctypes crossing for the WHOLE batch, rays solved in parallel
+        # C++ threads (native.trajectory_batch) -- a per-ray Python loop
+        # here would serialize a camera-scale batch into N ODE solves plus
+        # N FFI crossings (the round-4 review's 1M-iteration trap).
+        out = native.trajectory_batch(
+            x0, d0, mass=self.mass, spin=self.spin, r_capture=r_cap,
+            r_escape=r_escape, lam_max=curve_end, max_step=max_step,
+            max_points=int(nr_points_curve))
+        np_pts = out["n_points"]
+        xs = [out["traj_x"][i, :np_pts[i]] for i in range(n)]
+        ks = [out["traj_v"][i, :np_pts[i]] for i in range(n)]
+        lams = out["lam"]
+        status = out["status"]
         # The oracle tests "start inside" with the Kerr-Schild radius
         # (geodesic.cpp integrate_one), which is SMALLER than the Euclidean
         # norm for spin != 0 -- trust its INSIDE_HORIZON status rather than
@@ -472,6 +471,34 @@ class ApproxKerrGeodesic:
         if load_path is not None:
             self.model = _sur.load_surrogate(load_path)
             self.history = None
+            # A surrogate is only valid for the physics it was trained on
+            # (the npz stores them for exactly this check -- the reference
+            # RELOADS the surrogate when these parameters change,
+            # LimitedRelativisticRenderEngine.py:96-101); a silent mismatch
+            # between the instance attributes and the loaded weights would
+            # trace wrong physics.  Same check as io_.config.build_limited.
+            m = self.model
+            mismatches = [
+                (name, got, want)
+                for name, got, want in (
+                    ("mass", float(m.mass), self.mass),
+                    ("a", float(m.spin), self.a),
+                    ("ratio_obj_to_blackhole", float(m.r_influence),
+                     self.ratio),
+                    ("exit_tolerance",
+                     float(m.r_exit) / float(m.r_influence) - 1.0
+                     if m.r_exit is not None else self.exit_tolerance,
+                     self.exit_tolerance),
+                )
+                if abs(got - want) > 1e-4 * max(abs(want), 1.0)
+            ]
+            if mismatches:
+                detail = ", ".join(f"{n}: loaded={g:g} vs requested={w:g}"
+                                   for n, g, w in mismatches)
+                raise ValueError(
+                    f"surrogate {load_path!r} was trained for a different "
+                    f"setup ({detail}); retrain (omit load_path) or "
+                    f"construct with the matching parameters")
         else:
             self.model, self.history = _sur.train_surrogate(
                 jax.random.PRNGKey(seed), mass=self.mass,

@@ -104,6 +104,12 @@ class SceneConfig:
     # solve_ivp, RelativisticRenderEngine.py:293).  'dopri' + mode='scan'
     # is differentiable (exact discrete adjoint of the adaptive scheme);
     # mode='while' is the cheaper forward-only twin.
+    # PERFORMANCE CAVEAT: differentiable 'dopri' is fast ONLY on TPU, where
+    # it lowers to the in-kernel checkpointed adjoint (15.3M rays/s fwd+bwd
+    # on v5e).  On CPU/GPU it falls back to the XLA remat scan at ~52k
+    # rays/s (measured, BENCH_SUITE.json: ~300x slower) -- fine for tests
+    # and small fits, impractical for full-frame gradients; prefer
+    # method='rk4' off-TPU.
     method: str = "rk4"
     mode: str = "scan"
     rtol: float = 1e-5

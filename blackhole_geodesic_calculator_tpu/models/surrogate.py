@@ -257,14 +257,19 @@ def _label_env(mass, spin, cfg: SurrogateConfig) -> GeodesicEnv:
 def label_rays(env: GeodesicEnv, cfg: SurrogateConfig, entry, d):
     """Integrate (entry, d) to termination: the training-label oracle.
 
-    Returns (captured, exit_loc, exit_dir, escaped_mask)."""
+    Returns (captured, exit_loc, exit_dir, escaped_mask).  BUDGET rays
+    (affine budget exhausted, long orbiters hugging the photon shell) are
+    in NEITHER mask: their true fate is unresolved at this n_steps/lam_max,
+    and the exact hybrid engine classifies them as integration errors (RED
+    debug pixels, render/limited.py), not captures -- so they are excluded
+    from the capture BCE rather than trained as black (they are already
+    masked out of the escape regression by ``escaped``)."""
     icfg = IntegratorConfig(n_steps=cfg.n_steps, dt=cfg.dt,
                             dt_boost=cfg.dt_boost, backend=cfg.backend)
     # Nudge inward so the entry shell itself doesn't trip r_escape.
     s = launch(env, entry * (1.0 - 1e-4), d, icfg)
     captured = ((s.status == states.CAPTURED)
-                | (s.status == states.INSIDE_HORIZON)
-                | (s.status == states.BUDGET))
+                | (s.status == states.INSIDE_HORIZON))
     escaped = s.status == states.ESCAPED
     return captured, s.x, final_direction(env, s), escaped
 
@@ -338,8 +343,12 @@ def surrogate_loss(params, cfg: SurrogateConfig, R, entry, d,
     loc_t = to_canon(exit_loc) / R - _straight_exit(entry_c, d_c, R)
 
     logits = out[..., 6]
-    bce = optax.sigmoid_binary_cross_entropy(
-        logits, captured.astype(jnp.float32)).mean()
+    # BCE only over rays with a RESOLVED fate; BUDGET/ERROR rays (neither
+    # captured nor escaped -- see label_rays) carry no class signal.
+    labeled = (captured | escaped).astype(jnp.float32)
+    bce = (labeled * optax.sigmoid_binary_cross_entropy(
+        logits, captured.astype(jnp.float32))).sum() / jnp.maximum(
+        labeled.sum(), 1.0)
 
     m = escaped.astype(jnp.float32)
     denom = jnp.maximum(m.sum(), 1.0)
@@ -414,7 +423,12 @@ def evaluate_surrogate(key, sur: NeuralSurrogate, cfg: SurrogateConfig,
     captured, exit_loc, exit_dir, escaped = label_rays(env, cfg, entry, d)
     ploc, pdir, pcap = sur.trace(entry, d)
 
-    cap_acc = float(jnp.mean((pcap == captured).astype(jnp.float32)))
+    # accuracy over rays with a RESOLVED fate (BUDGET orbiters are in
+    # neither class -- see label_rays -- and are excluded from training)
+    labeled = captured | escaped
+    cap_acc = float(jnp.sum(((pcap == captured) & labeled).astype(
+        jnp.float32)) / jnp.maximum(jnp.sum(labeled.astype(jnp.float32)),
+                                    1.0))
     both = escaped & ~pcap
     cosang = jnp.clip(jnp.sum(pdir * exit_dir, -1), -1.0, 1.0)
     ang = jnp.where(both, jnp.arccos(cosang), jnp.nan)

@@ -105,6 +105,12 @@ def _load():
             dp, dp, ctypes.POINTER(_BgcEnv), ctypes.POINTER(_BgcSolverOpts),
             ctypes.c_int32, dp, dp, dp, ip, dp, ip,
         ]
+        lib.bgc_trajectory_batch.restype = ctypes.c_int
+        lib.bgc_trajectory_batch.argtypes = [
+            dp, dp, ctypes.c_int64,
+            ctypes.POINTER(_BgcEnv), ctypes.POINTER(_BgcSolverOpts),
+            ctypes.c_int32, ctypes.c_int, dp, dp, dp, ip, dp, ip, ip, dp,
+        ]
         lib.bgc_rhs.restype = None
         lib.bgc_rhs.argtypes = [dp, dp, ctypes.c_double, ctypes.c_double,
                                 ctypes.c_double, dp, dp]
@@ -256,6 +262,50 @@ def trajectory(x0, d0, *, mass, spin=None, r_capture, r_escape, lam_max,
         ctypes.byref(lam_out), ctypes.byref(hit_obj))
     t = n_points.value
     return tx[:t], tp[:t], tl[:t], int(status), int(hit_obj.value)
+
+
+def trajectory_batch(x0, d0, *, mass, spin=None, r_capture, r_escape,
+                     lam_max, disk=None, spheres=None, rtol=1e-8,
+                     atol=1e-10, max_step=0.0, max_points=10000,
+                     n_threads=0):
+    """Dense trajectories for a WHOLE (N, 3) ray batch, multithreaded in
+    C++ -- the batch form of ``trajectory`` (one ctypes crossing instead of
+    N, rays solved in parallel).  Backs the compat ``calc_trajectory``
+    native path for camera-scale batches.
+
+    Returns dict: traj_x, traj_v (N, max_points, 3) f64 (positions and
+    coordinate velocities dx/dlambda; per-ray valid prefix ``n_points``),
+    traj_lam (N, max_points), n_points (N,) int32, lam (N,), status (N,)
+    int32 (ops/states codes), hit_obj (N,), E (N,).
+    """
+    lib = _load()
+    x0 = np.ascontiguousarray(x0, np.float64).reshape(-1, 3)
+    d0 = np.ascontiguousarray(d0, np.float64).reshape(-1, 3)
+    n = x0.shape[0]
+    env = _env_struct(mass=mass, spin=spin, r_capture=r_capture,
+                      r_escape=r_escape, lam_max=lam_max, disk=disk,
+                      spheres=spheres)
+    opts = _opts_struct(rtol=rtol, atol=atol, max_step=max_step)
+    m = int(max_points)
+    tx = np.empty((n, m, 3), np.float64)
+    tv = np.empty((n, m, 3), np.float64)
+    tl = np.empty((n, m), np.float64)
+    n_points = np.empty((n,), np.int32)
+    lam = np.empty((n,), np.float64)
+    status = np.empty((n,), np.int32)
+    hit_obj = np.empty((n,), np.int32)
+    E = np.empty((n,), np.float64)
+    ip = ctypes.POINTER(ctypes.c_int32)
+    rc = lib.bgc_trajectory_batch(
+        _dp(x0), _dp(d0), n, ctypes.byref(env), ctypes.byref(opts),
+        m, int(n_threads), _dp(tx), _dp(tv), _dp(tl),
+        n_points.ctypes.data_as(ip), _dp(lam),
+        status.ctypes.data_as(ip), hit_obj.ctypes.data_as(ip), _dp(E))
+    if rc != 0:
+        raise RuntimeError(f"bgc_trajectory_batch failed rc={rc}")
+    return {"traj_x": tx, "traj_v": tv, "traj_lam": tl,
+            "n_points": n_points, "lam": lam, "status": status,
+            "hit_obj": hit_obj, "E": E}
 
 
 def rhs(x, p, E, mass, spin=None):

@@ -88,6 +88,22 @@ int bgc_trajectory(
     int32_t max_points, double* traj_x, double* traj_p, double* traj_lam,
     int32_t* n_points, double* lam_out, int32_t* hit_obj_out);
 
+/* Batched dense trajectories: integrate n rays MULTITHREADED, each storing
+ * its accepted-step polyline of positions AND coordinate velocities
+ * (dx/dlambda -- what the compat calc_trajectory contract returns as k).
+ * traj_x, traj_v: (n, max_points, 3) row-major; traj_lam: (n, max_points).
+ * Point 0 of every ray is the launch state.  Per-ray realized counts in
+ * n_points_out (n,); clamping semantics as bgc_trajectory.  E_out (n,)
+ * gets each ray's conserved energy (nullable).  n_threads <= 0 ->
+ * hardware_concurrency.  Returns 0 on success. */
+int bgc_trajectory_batch(
+    const double* x0, const double* d0, int64_t n,
+    const BgcEnv* env, const BgcSolverOpts* opts,
+    int32_t max_points, int n_threads,
+    double* traj_x, double* traj_v, double* traj_lam,
+    int32_t* n_points_out, double* lam_out,
+    int32_t* status_out, int32_t* hit_obj_out, double* E_out);
+
 /* Null-geodesic RHS at one state (for parity unit tests): given x (3,),
  * p (3,), E, writes dx (3,) and dp (3,). */
 void bgc_rhs(const double* x, const double* p, double E,

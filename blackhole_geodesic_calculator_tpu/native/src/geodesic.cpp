@@ -494,6 +494,90 @@ void traj_sink(void* vctx, const State& y, double lam) {
 }
 }  // namespace
 
+namespace {
+/* Sink recording position + coordinate VELOCITY (dx/dlambda = the x-part
+ * of the RHS) per accepted step -- what the curvedpy-compat
+ * calc_trajectory contract hands back as k (compat.py). */
+struct TrajVCtx {
+  const BgcEnv* env;
+  double E;
+  double* tx;
+  double* tv;
+  double* tl;
+  int32_t cap;
+  int32_t count;
+};
+
+void trajv_sink(void* vctx, const State& y, double lam) {
+  TrajVCtx* c = (TrajVCtx*)vctx;
+  int32_t i = c->count < c->cap ? c->count : c->cap - 1;
+  Vec3 dx, dp;
+  rhs(y.x, y.p, c->E, c->env->mass, c->env->spin, &dx, &dp);
+  for (int j = 0; j < 3; ++j) {
+    c->tx[3 * i + j] = y.x[j];
+    c->tv[3 * i + j] = dx[j];
+  }
+  c->tl[i] = lam;
+  if (c->count < c->cap) c->count += 1;
+}
+}  // namespace
+
+int bgc_trajectory_batch(const double* x0, const double* d0, int64_t n,
+                         const BgcEnv* env, const BgcSolverOpts* opts,
+                         int32_t max_points, int n_threads,
+                         double* traj_x, double* traj_v, double* traj_lam,
+                         int32_t* n_points_out, double* lam_out,
+                         int32_t* status_out, int32_t* hit_obj_out,
+                         double* E_out) {
+  if (!x0 || !d0 || !env || !opts || n < 0 || max_points < 1) return 1;
+  int nt = n_threads > 0 ? n_threads
+                         : (int)std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  if (nt > n) nt = (int)std::max<int64_t>(1, n);
+
+  std::atomic<int64_t> next(0);
+  auto work = [&]() {
+    for (;;) {
+      /* chunks of 4: dense-trajectory rays are heavyweight (an ODE solve
+       * plus a polyline write each), so fine-grained stealing balances
+       * capture-fast vs grazing-slow rays better than integrate_batch's
+       * 64-ray chunks. */
+      int64_t i = next.fetch_add(4);
+      if (i >= n) return;
+      int64_t end = std::min<int64_t>(n, i + 4);
+      for (; i < end; ++i) {
+        Vec3 xv{{x0[3 * i], x0[3 * i + 1], x0[3 * i + 2]}};
+        Vec3 dv{{d0[3 * i], d0[3 * i + 1], d0[3 * i + 2]}};
+        Vec3 p0;
+        double E;
+        null_init(xv, dv, env->mass, env->spin, &p0, &E);
+        TrajVCtx ctx{env, E,
+                     traj_x + (int64_t)3 * max_points * i,
+                     traj_v + (int64_t)3 * max_points * i,
+                     traj_lam + (int64_t)max_points * i, max_points, 0};
+        State s0{xv, p0};
+        trajv_sink(&ctx, s0, 0.0);  /* point 0 = launch state */
+        RayResult r = integrate_one(xv, dv, *env, *opts, trajv_sink, &ctx);
+        n_points_out[i] = ctx.count;
+        if (lam_out) lam_out[i] = r.lam;
+        status_out[i] = r.status;
+        if (hit_obj_out) hit_obj_out[i] = r.hit_obj;
+        if (E_out) E_out[i] = E;
+      }
+    }
+  };
+
+  if (nt == 1) {
+    work();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(nt);
+    for (int t = 0; t < nt; ++t) pool.emplace_back(work);
+    for (auto& th : pool) th.join();
+  }
+  return 0;
+}
+
 int bgc_trajectory(const double* x0, const double* d0, const BgcEnv* env,
                    const BgcSolverOpts* opts, int32_t max_points,
                    double* traj_x, double* traj_p, double* traj_lam,

@@ -129,12 +129,24 @@ def _sharded_render_fn(mesh: Mesh, cfg: RenderConfig, multisample: bool):
 
     def _render_chunked(scene, cam, ys, xs):
         n_loc = ys.shape[0]
-        if n_loc <= CHUNK or n_loc % CHUNK != 0:
+        if n_loc <= CHUNK:
             return render_rays(scene, cam, cfg, ys, xs, None)
+        # lax.map over the divisible prefix + one call on the tail, so a
+        # non-multiple ray count (4096x2160, odd meshes) still has every
+        # shading temp bounded by CHUNK instead of falling back to the
+        # one-shot form that fails to compile at 4096^2.  Values are
+        # unchanged: render_rays is pure per ray and the integrator's
+        # cost-tile reorder is unpermuted inside each call.
+        n_full = (n_loc // CHUNK) * CHUNK
         rgb = jax.lax.map(
             lambda c: render_rays(scene, cam, cfg, c[0], c[1], None),
-            (ys.reshape(-1, CHUNK), xs.reshape(-1, CHUNK)))
-        return rgb.reshape(n_loc, 3)
+            (ys[:n_full].reshape(-1, CHUNK), xs[:n_full].reshape(-1, CHUNK)))
+        rgb = rgb.reshape(n_full, 3)
+        if n_full < n_loc:
+            tail = render_rays(scene, cam, cfg, ys[n_full:], xs[n_full:],
+                               None)
+            rgb = jnp.concatenate([rgb, tail])
+        return rgb
 
     def local(scene, cam, keys, ys, xs):
         if not multisample:

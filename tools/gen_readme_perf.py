@@ -75,6 +75,12 @@ LABELS = {
     "adaptive_vs_fixed_max_escape_dir_err":
         "adaptive-vs-fixed worst escape-direction disagreement "
         "(both independently oracle-validated)",
+    "stokes_rays_per_s_fwd_1024x1024":
+        "**polarized Stokes I/Q/U** 1024² render (disk pol_frac, exact "
+        "Schwarzschild transport), forward",
+    "stokes_rays_per_s_fwd_sharded_1024x1024":
+        "polarized Stokes 1024² sharded render (I/Q/U parity vs unsharded "
+        "asserted)",
     "surrogate_kerr_rays_per_s":
         "**learned Kerr scattering surrogate** (128×4 MLP, bf16 MXU "
         "inference; trained on-chip against the Pallas integrator)",
