@@ -806,17 +806,19 @@ def bench_stokes(size, steps, repeat):
           f"median={np.median(times)*1e3:.1f}", file=sys.stderr)
 
 
-def bench_surrogate(repeat):
+def bench_surrogate(repeat, train_steps=15000):
     """Learned Kerr scattering surrogate (models/surrogate.py): the
     reference's planned 'Tensorflow model or interpolation' fast path
     (/root/reference/README.md:237), which no table can provide for Kerr.
 
-    Trains a 128x4 MLP ON THIS CHIP against the live Pallas integrator
-    (fresh integrator-labeled batch every optimizer step), then times bf16
-    MXU inference and reports held-out accuracy vs the integrator.  The
-    surrogate is an approximate preview path, not gradient-bearing; its
-    accuracy rows are part of the artifact so the speed claim can't hide
-    the error."""
+    Trains the default MLP (256x5, f32 MXU) ON THIS CHIP against the live
+    Pallas integrator (fresh integrator-labeled batch every optimizer
+    step), then times inference (f32 default + the bf16 preview path) and
+    reports held-out accuracy vs the integrator -- PLUS an image-level
+    comparison: a 512^2 Kerr a/M=0.9 Gen-1 hybrid frame rendered with the
+    surrogate vs with the real integrator (PSNR + shadow-edge
+    displacement), so the accuracy claim is judged at the pixels a user
+    actually sees, not only at the ray metric."""
     import jax
     import jax.numpy as jnp
 
@@ -824,38 +826,114 @@ def bench_surrogate(repeat):
 
     cfg = sur.SurrogateConfig()
     t0 = time.perf_counter()
-    # 5000 steps x 8192 rays ~ 80 s on an uncontended v5e; accuracy is
-    # training-limited in this regime (2000 -> 6000 steps roughly halves
-    # the median escape-direction error, 12.6 -> 7.2 mrad).
     model, hist = sur.train_surrogate(
         jax.random.PRNGKey(0), mass=0.5, spin=0.45, cfg=cfg,
-        steps=5000, batch=8192)
+        steps=train_steps, batch=8192)
     jax.block_until_ready(model.params)
     train_s = time.perf_counter() - t0
-    print(f"# surrogate-train 5000 steps x 8192 rays in {train_s:.1f}s "
-          f"(final loss {hist['loss'][-1]:.4f})", file=sys.stderr)
+    print(f"# surrogate-train {train_steps} steps x 8192 rays in "
+          f"{train_s:.1f}s (final loss {hist['loss'][-1]:.4f})",
+          file=sys.stderr)
 
     n = 1 << 21  # 2M rays
     entry, d = sur.sample_entries(jax.random.PRNGKey(1), n, cfg, 0.5)
-    trace = jax.jit(model.trace)
-    pipelined, times = time_step(lambda: trace(entry, d), (), repeat)
-    rays = n / pipelined
-    emit("surrogate_kerr_rays_per_s", rays, "rays/s", rays / NORTH_STAR,
-         note="MLP 128x4 bf16 MXU inference, 2M-ray batch; approximate "
-         "preview path (accuracy rows below), Kerr a/M=0.9")
-    print(f"# surrogate_infer pipelined={pipelined*1e3:.2f} ms "
-          f"per_call_ms={[round(t*1e3,2) for t in times]} "
-          f"median={np.median(times)*1e3:.2f}", file=sys.stderr)
+    for prec in ("f32", "bf16"):
+        m_p = dataclasses.replace(model, precision=prec)
+        trace = jax.jit(m_p.trace)
+        pipelined, times = time_step(lambda: trace(entry, d), (), repeat)
+        rays = n / pipelined
+        tag = "" if prec == "f32" else "_bf16"
+        emit(f"surrogate_kerr_rays_per_s{tag}", rays, "rays/s",
+             rays / NORTH_STAR,
+             note=f"MLP {cfg.width}x{cfg.depth} {prec} MXU inference, "
+             "2M-ray batch; approximate preview path (accuracy rows "
+             "below), Kerr a/M=0.9")
+        print(f"# surrogate_infer[{prec}] pipelined={pipelined*1e3:.2f} ms "
+              f"per_call_ms={[round(t*1e3,2) for t in times]} "
+              f"median={np.median(times)*1e3:.2f}", file=sys.stderr)
 
     m = sur.evaluate_surrogate(jax.random.PRNGKey(2), model, cfg, n=1 << 17)
     emit("surrogate_kerr_capture_acc", m["capture_acc"], "frac",
          m["capture_acc"],
-         note="held-out capture/escape classification vs the integrator")
+         note="held-out capture/escape classification vs the integrator "
+         "(rays with a resolved fate)")
     emit("surrogate_kerr_dir_err_median", m["dir_err_median_rad"], "rad",
          m["dir_err_median_rad"] / 7.8e-4,
          note="vs_baseline = error / flagship pixel angular resolution; "
          f"p95 = {m['dir_err_p95_rad']:.2e} rad")
     print(f"# surrogate-eval {m}", file=sys.stderr)
+
+    # --- image-level artifact: 512^2 Kerr Gen-1 hybrid, surrogate vs ODE --
+    psnr, edge_med, edge_p95 = _surrogate_image_compare(model)
+    emit("surrogate_image_psnr_db", psnr, "dB", psnr / 30.0,
+         note="512^2 Kerr a/M=0.9 Gen-1 hybrid: MLP surrogate render vs "
+         "real-integrator render; vs_baseline = PSNR / 30 dB")
+    emit("surrogate_shadow_edge_err_px", edge_med, "px", edge_med,
+         note="median |shadow-edge displacement| over 720 spokes, 512^2 "
+         f"frame; p95 = {edge_p95:.2f} px")
+
+
+def _surrogate_image_compare(model, size=512):
+    """Render the Gen-1 hybrid scene (Kerr a/M = 0.9, bright sky, no disk)
+    with the learned surrogate and with the real integrator; return
+    (PSNR dB, median shadow-edge displacement px, p95 displacement px)."""
+    import jax
+    import jax.numpy as jnp
+
+    from blackhole_geodesic_calculator_tpu.camera import Camera
+    from blackhole_geodesic_calculator_tpu.render.limited import (
+        LimitedConfig, render_limited,
+    )
+    from blackhole_geodesic_calculator_tpu.scene import BlackHole, Scene
+
+    # bright sky: shadow-mask extraction must not confuse dark sky texels
+    # with the shadow
+    h, w = 128, 256
+    v, u = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    sky = jnp.asarray(np.stack(
+        [0.65 + 0.35 * np.sin(2 * np.pi * u / w) * np.sin(np.pi * v / h),
+         0.5 + 0.3 * np.cos(6 * np.pi * u / w),
+         0.6 + 0.4 * (((u // 16 + v // 16) % 2).astype(np.float32))],
+        -1), jnp.float32)
+    scene = Scene(bh=BlackHole.make(mass=0.5, spin=0.45), background=sky)
+    cam = Camera.make(position=(0.0, 0.0, 30.0), fov=(0.35, 0.35))
+    from blackhole_geodesic_calculator_tpu.ops import IntegratorConfig
+    from blackhole_geodesic_calculator_tpu.render import RenderConfig
+
+    cfg = RenderConfig(
+        width=size, height=size,
+        integrator=IntegratorConfig(n_steps=512, dt=0.05, dt_boost=4.0),
+        lam_max=200.0)
+    lcfg_ex = LimitedConfig(approx=False, debug_colors=False)
+    lcfg_ap = LimitedConfig(approx=True, debug_colors=False)
+    exact = np.asarray(render_limited(scene, cam, cfg, lcfg_ex))[..., :3]
+    approx = np.asarray(render_limited(scene, cam, cfg, lcfg_ap,
+                                       table=model))[..., :3]
+    mse = float(np.mean((exact - approx) ** 2))
+    psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
+
+    def edge_radii(img, n_ang=720):
+        lum = img.mean(-1)
+        mask = lum < 0.02                      # shadow
+        cy = cx = (size - 1) / 2.0
+        ang = np.linspace(0, 2 * np.pi, n_ang, endpoint=False)
+        rr = np.arange(0, size // 2 - 2, 0.5)
+        ys = np.clip((cy + rr[None, :] * np.sin(ang)[:, None]).round()
+                     .astype(int), 0, size - 1)
+        xs = np.clip((cx + rr[None, :] * np.cos(ang)[:, None]).round()
+                     .astype(int), 0, size - 1)
+        inside = mask[ys, xs]                  # (n_ang, n_r)
+        # first radius OUTSIDE the shadow along each spoke
+        first_out = np.argmin(inside, axis=1)  # inside is True then False
+        return rr[first_out]
+
+    re_, ra_ = edge_radii(exact), edge_radii(approx)
+    d = np.abs(re_ - ra_)
+    print(f"# surrogate-image psnr={psnr:.2f} dB edge_med={np.median(d):.2f}"
+          f" px edge_p95={np.percentile(d, 95):.2f} px "
+          f"edge_max={d.max():.2f} px shadow_r~{np.median(re_):.1f} px",
+          file=sys.stderr)
+    return psnr, float(np.median(d)), float(np.percentile(d, 95))
 
 
 # =============================================================================

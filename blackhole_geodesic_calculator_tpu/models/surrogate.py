@@ -61,10 +61,14 @@ Array = jax.Array
 class SurrogateConfig:
     """Architecture + labeling-integrator budget for one surrogate."""
 
-    width: int = 128
-    depth: int = 4              # number of hidden layers
+    width: int = 256
+    depth: int = 5              # number of hidden layers
     r_influence: float = 20.0   # sphere-of-influence radius (scene units of M)
     exit_tolerance: float = 0.1  # exit shell thickness (ref :273-278)
+    # Matmul precision: 'f32' (accurate default -- bf16's ~4e-3 relative
+    # rounding on the residual head is itself a multi-pixel error floor at
+    # flagship resolution) or 'bf16' (the fastest MXU path, preview-grade).
+    precision: str = "f32"
     # Integrator budget used to label training batches (and to evaluate):
     n_steps: int = 512
     dt: float = 0.05
@@ -74,7 +78,7 @@ class SurrogateConfig:
 
     @property
     def n_features(self) -> int:
-        return 9
+        return 11
 
     @property
     def n_outputs(self) -> int:
@@ -121,18 +125,28 @@ def decanonicalize(v, phi, flip):
 
 
 def _features(entry_c, d_c, R):
-    """Canonical-frame input features (..., 9).
+    """Canonical-frame input features (..., 11).
 
     Raw geometry plus the angular-momentum-like invariants the scattering
-    physics is organized around (b-vector ~ entry x d)."""
+    physics is organized around (b-vector ~ entry x d).  The LOG of the
+    impact parameter is supplied explicitly: the deflection diverges like
+    -log(b - b_c) at the critical impact parameter, and giving the network
+    the log coordinate resolves that sharp transition without spending
+    layers approximating a logarithm (measured: largest single lever on
+    the near-critical p95 direction error)."""
     e = entry_c / R
     cross = jnp.cross(e, d_c)
     dot = jnp.sum(e * d_c, axis=-1, keepdims=True)
+    # smooth norm: exactly-radial entries have cross = 0, where
+    # linalg.norm's 0/0 jacobian would NaN the whole training step
+    bmag = jnp.sqrt(jnp.sum(cross * cross, -1, keepdims=True) + 1e-8)
+    logb = jnp.log(bmag + 1e-4)
     return jnp.concatenate([
         e[..., 0:1], e[..., 2:3],   # sin/cos of the entry polar angle
         d_c,                         # direction (3)
         cross,                       # impact-parameter vector (3)
         dot,                         # radial approach rate (1)
+        bmag, logb,                  # |b|/R and its log (critical-band res.)
     ], axis=-1)
 
 
@@ -163,16 +177,26 @@ def init_params(key, cfg: SurrogateConfig):
     return params
 
 
-def mlp_apply(params, feats):
-    """Dense stack in bfloat16 with f32 accumulation (MXU path)."""
-    h = feats.astype(jnp.bfloat16)
+def mlp_apply(params, feats, precision: str = "f32"):
+    """Dense MXU stack: ``precision='f32'`` runs full float32 (3-pass MXU,
+    the accurate default -- bf16 activations round the residual head at
+    ~4e-3 relative, itself a multi-pixel error floor); ``'bf16'`` is the
+    fastest single-pass MXU path for previews."""
+    if precision == "bf16":
+        h = feats.astype(jnp.bfloat16)
+        for w, b in params[:-1]:
+            h = jnp.dot(h, w.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32) + b
+            h = jax.nn.gelu(h).astype(jnp.bfloat16)
+        w, b = params[-1]
+        return jnp.dot(h, w.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32) + b
+    h = feats
     for w, b in params[:-1]:
-        h = jnp.dot(h, w.astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32) + b
-        h = jax.nn.gelu(h).astype(jnp.bfloat16)
+        h = jax.nn.gelu(jnp.dot(h, w, precision=jax.lax.Precision.HIGHEST)
+                        + b)
     w, b = params[-1]
-    return jnp.dot(h, w.astype(jnp.bfloat16),
-                   preferred_element_type=jnp.float32) + b
+    return jnp.dot(h, w, precision=jax.lax.Precision.HIGHEST) + b
 
 
 # =============================================================================
@@ -193,11 +217,16 @@ class NeuralSurrogate:
     # and the hybrid renderer's flat re-cast then spuriously re-hits the BH
     # sphere (rendered as the blue/green rogue-ray debug colors).
     r_exit: Any = None
+    # Matmul precision ('f32' | 'bf16'); static so jit specializes the path.
+    precision: str = dataclasses.field(
+        default="f32", metadata=dict(static=True))
 
     def raw(self, entry, d):
         """Canonical-frame network outputs (dir, loc/R, logit)."""
         entry_c, d_c, phi, flip = canonicalize(entry, d)
-        out = mlp_apply(self.params, _features(entry_c, d_c, self.r_influence))
+        out = mlp_apply(self.params,
+                        _features(entry_c, d_c, self.r_influence),
+                        self.precision)
         return out, phi, flip
 
     def trace(self, entry, d):
@@ -209,7 +238,9 @@ class NeuralSurrogate:
         (LimitedRelativisticRenderEngine.py:269)."""
         dn = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-20)
         entry_c, d_c, phi, flip = canonicalize(entry, dn)
-        out = mlp_apply(self.params, _features(entry_c, d_c, self.r_influence))
+        out = mlp_apply(self.params,
+                        _features(entry_c, d_c, self.r_influence),
+                        self.precision)
         # Residuals on top of the straight-line chord (see _straight_exit).
         exit_dir = d_c + out[..., 0:3]
         exit_dir = exit_dir / jnp.maximum(
@@ -271,7 +302,15 @@ def label_rays(env: GeodesicEnv, cfg: SurrogateConfig, entry, d):
     captured = ((s.status == states.CAPTURED)
                 | (s.status == states.INSIDE_HORIZON))
     escaped = s.status == states.ESCAPED
-    return captured, s.x, final_direction(env, s), escaped
+    # Sanitize: a Kerr capture can freeze arbitrarily close to the ring
+    # singularity (rho ~ a, z ~ 0), where xdot overflows and the final
+    # direction is NaN.  Those rays are excluded from every regression
+    # term by the escaped mask, but masking multiplies by 0 and
+    # 0 * NaN = NaN would still poison the whole gradient.
+    fin_d = final_direction(env, s)
+    fin_d = jnp.where(jnp.isfinite(fin_d), fin_d, 0.0)
+    x_fin = jnp.where(jnp.isfinite(s.x), s.x, 0.0)
+    return captured, x_fin, fin_d, escaped
 
 
 def sample_entries(key, n, cfg: SurrogateConfig, mass):
@@ -322,7 +361,7 @@ def surrogate_loss(params, cfg: SurrogateConfig, R, entry, d,
                    captured, exit_loc, exit_dir, escaped):
     """BCE on capture + masked regression on the escape state."""
     entry_c, d_c, phi, flip = canonicalize(entry, d)
-    out = mlp_apply(params, _features(entry_c, d_c, R))
+    out = mlp_apply(params, _features(entry_c, d_c, R), cfg.precision)
     # Targets in the canonical frame (same transform as the inputs).
     sgn = jnp.where(flip, -1.0, 1.0)
     rot = _rz(-phi)
@@ -406,6 +445,7 @@ def train_surrogate(key, mass=0.5, spin=0.45, cfg: SurrogateConfig | None = None
         r_influence=R,
         r_exit=jnp.asarray(cfg.r_influence * (1.0 + cfg.exit_tolerance),
                            jnp.float32),
+        precision=cfg.precision,
     )
     return sur, history
 
@@ -459,7 +499,8 @@ def save_surrogate(path, sur: NeuralSurrogate):
     flat = {"mass": np.asarray(sur.mass), "spin": np.asarray(sur.spin),
             "r_influence": np.asarray(sur.r_influence),
             "r_exit": np.asarray(r_exit),
-            "depth": np.asarray(len(sur.params) - 1)}
+            "depth": np.asarray(len(sur.params) - 1),
+            "precision": np.asarray(sur.precision)}
     for i, (w, b) in enumerate(sur.params):
         flat[f"w{i}"] = np.asarray(w)
         flat[f"b{i}"] = np.asarray(b)
@@ -473,10 +514,13 @@ def load_surrogate(path) -> NeuralSurrogate:
               for i in range(depth + 1)]
     r_exit = (jnp.asarray(z["r_exit"]) if "r_exit" in z.files
               else 1.1 * jnp.asarray(z["r_influence"]))
+    # npz files predating the precision field were trained in bf16
+    precision = (str(z["precision"]) if "precision" in z.files else "bf16")
     return NeuralSurrogate(
         params=params,
         mass=jnp.asarray(z["mass"]),
         spin=jnp.asarray(z["spin"]),
         r_influence=jnp.asarray(z["r_influence"]),
         r_exit=r_exit,
+        precision=precision,
     )

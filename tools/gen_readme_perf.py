@@ -82,13 +82,21 @@ LABELS = {
         "polarized Stokes 1024² sharded render (I/Q/U parity vs unsharded "
         "asserted)",
     "surrogate_kerr_rays_per_s":
-        "**learned Kerr scattering surrogate** (128×4 MLP, bf16 MXU "
+        "**learned Kerr scattering surrogate** (256×5 MLP, f32 MXU "
         "inference; trained on-chip against the Pallas integrator)",
+    "surrogate_kerr_rays_per_s_bf16":
+        "surrogate bf16 MXU preview path",
     "surrogate_kerr_capture_acc":
         "surrogate held-out capture-classification accuracy vs the "
         "integrator",
     "surrogate_kerr_dir_err_median":
         "surrogate median escape-direction error",
+    "surrogate_image_psnr_db":
+        "surrogate **image-level** check: 512² Kerr Gen-1 hybrid frame, "
+        "MLP render vs integrator render (PSNR)",
+    "surrogate_shadow_edge_err_px":
+        "surrogate shadow-edge displacement vs integrator render "
+        "(median over 720 spokes)",
 }
 
 
@@ -102,14 +110,20 @@ def _fmt(row):
         return f"{v:.2e} rad"
     if unit == "frac":
         return f"{100.0 * v:.2f}%"
+    if unit == "dB":
+        return f"**{v:.1f} dB**"
+    if unit == "px":
+        return f"{v:.2f} px"
     return f"{v:g} {unit}"
 
 
 def _vs(row):
     if row["unit"] == "rad":
         return f"{row['vs_baseline']:.2f}× flagship pixel resolution"
-    if row["unit"] == "frac":
+    if row["unit"] in ("frac", "px"):
         return "—"
+    if row["unit"] == "dB":
+        return f"{row['vs_baseline']:.2f}× 30 dB"
     return f"{row['vs_baseline']:.1f}×"
 
 
