@@ -388,3 +388,53 @@ def test_render_image_u8_matches_host_quantize():
               * 255.0 + 0.5).astype(np.uint8)
     # device vs host float rounding can land on a quantization boundary
     assert np.abs(u8t.astype(int) - host_t.astype(int)).max() <= 1
+
+
+def test_trajectory_batch_matches_per_ray():
+    """The multithreaded batch trajectory API (one FFI crossing, rays
+    solved in parallel C++ threads) must be BIT-IDENTICAL to N calls of
+    the per-ray `trajectory` (same integrate_one core) and must back the
+    compat native path without the old per-ray Python loop."""
+    from blackhole_geodesic_calculator_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    kw = dict(mass=0.5, r_capture=1.0, r_escape=70.0, lam_max=120.0,
+              max_step=0.1)
+    x0 = np.asarray([[0.0, 5.0, 30.0], [0.0, 2.0, 30.0],
+                     [0.0, 0.5, 30.0], [3.0, -4.0, 30.0]])
+    d0 = np.tile([0.0, 0.0, -1.0], (4, 1))
+    out = native.trajectory_batch(x0, d0, max_points=4000, **kw)
+    for i in range(4):
+        tx, tp, tl, st, _ = native.trajectory(x0[i], d0[i],
+                                              max_points=4000, **kw)
+        n = out["n_points"][i]
+        assert n == len(tx)
+        assert st == out["status"][i]
+        np.testing.assert_array_equal(out["traj_x"][i, :n], tx)
+        np.testing.assert_array_equal(out["traj_lam"][i, :n], tl)
+        _, E = native.null_init(x0[i], d0[i], 0.5, None)
+        assert abs(out["E"][i] - E) == 0.0
+        v, _ = native.rhs_batch(tx, tp, E, 0.5, None)
+        np.testing.assert_array_equal(out["traj_v"][i, :n], v)
+    # statuses span escape and capture in this fan
+    assert set(out["status"].tolist()) >= {1, 2}
+
+
+def test_trajectory_batch_kerr_compat_path():
+    """compat.calc_trajectory(backend='native') on a batch goes through
+    trajectory_batch; spot-check Kerr flags and shapes."""
+    from blackhole_geodesic_calculator_tpu.compat import (
+        GeodesicIntegratorSchwarzschild,
+    )
+
+    gi = GeodesicIntegratorSchwarzschild(mass=0.5, spin=0.45,
+                                     backend="native")
+    x0 = [[2.0, 0.0, 30.0], [8.0, 0.0, 30.0]]
+    d0 = [[0.0, 0.0, -1.0], [0.0, 0.0, -1.0]]
+    k, x, res = gi.calc_trajectory(d0, x0, max_step=0.1, curve_end=300.0)
+    assert isinstance(x, list) and len(x) == 2
+    assert x[0].shape[0] == 3
+    assert bool(res["hit_blackhole"][0]) and not bool(res["hit_blackhole"][1])
+    assert np.isfinite(res["end_dir"]).all()
