@@ -258,3 +258,39 @@ class TestRendererIntegration:
             LimitedConfig(approx=True, r_influence=10.0), table=sur)
         assert img.shape == (16, 16, 4)
         assert bool(jnp.all(jnp.isfinite(img)))
+
+
+class TestPrecision:
+    def test_f32_vs_bf16_paths_close_not_identical(self):
+        """The precision field selects the MXU path: f32 (accurate default)
+        and bf16 (preview) must agree to bf16 rounding but differ in bits
+        (proving both paths are real), and the static field must re-trace
+        under jit."""
+        cfg = SurrogateConfig(width=32, depth=2)
+        sur = _random_surrogate(jax.random.PRNGKey(3), cfg)
+        e, d = _entries(jax.random.PRNGKey(4), 256, cfg.r_influence)
+        lo_f, do_f, cap_f = jax.jit(sur.trace)(e, d)
+        sur_b = dataclasses.replace(sur, precision="bf16")
+        lo_b, do_b, cap_b = jax.jit(sur_b.trace)(e, d)
+        # close: bf16 rounding class
+        assert float(jnp.abs(do_f - do_b).max()) < 0.1
+        # not identical: the paths genuinely differ
+        assert float(jnp.abs(lo_f - lo_b).max()) > 0.0
+        # capture decisions agree except at logit boundaries
+        assert float(jnp.mean((cap_f == cap_b).astype(jnp.float32))) > 0.95
+
+    def test_equivariance_holds_in_bf16(self):
+        """Symmetry canonicalization is outside the network, so both
+        precision paths are exactly Rz-equivariant."""
+        cfg = SurrogateConfig(width=32, depth=2)
+        sur = dataclasses.replace(
+            _random_surrogate(jax.random.PRNGKey(5), cfg),
+            precision="bf16")
+        e, d = _entries(jax.random.PRNGKey(6), 64, cfg.r_influence)
+        phi = 1.234
+        rot = np.asarray(_rz(jnp.asarray(phi)))
+        lo, do_, cap = sur.trace(e, d)
+        lo2, do2, cap2 = sur.trace(e @ rot.T, d @ rot.T)
+        np.testing.assert_allclose(np.asarray(lo2), np.asarray(lo) @ rot.T,
+                                   atol=2e-3)
+        np.testing.assert_array_equal(np.asarray(cap), np.asarray(cap2))
