@@ -176,12 +176,24 @@ def _dt_soa(a0, a1, a2, active, scal, enabled, kerr, power):
 
 
 def _events_merge(xp, cand, dt, lam, status, hit_obj, scal, sph, *,
-                  has_disk, n_sph, kerr):
+                  has_disk, n_sph, kerr, guard_spheres=False):
     """Event detection + classification + freeze-merge of one step
     candidate ``cand`` = (y0..q2) from state ``xp`` = (x0..p2, E) -- the
     block shared verbatim by the RK4 step (``_soa_step``) and the adaptive
     Dormand-Prince trip (``_dopri_trip``); mirrors integrate._apply_events
-    (kept in lockstep; parity is tested)."""
+    (kept in lockstep; parity is tested).
+
+    ``guard_spheres`` (forward-only kernels) wraps the K-sphere quadratic
+    tests in a tile-uniform ``lax.cond`` behind a CONSERVATIVE radius-shell
+    possibility test: every point of the segment x -> y lies within
+    L = |y - x| of y, so sphere k (surface radii [|c_k|-rad_k,
+    |c_k|+rad_k]) can only be hit when [|y|-L, |y|+L] overlaps that band.
+    Tiles integrating in the strong field (|y| < min_k band) or the far
+    approach (|y| > max_k band + L) skip the whole K-sphere block; results
+    are bit-identical by construction (the skipped branch returns the
+    no-hit defaults the tests would have produced).  Kept OFF in the
+    grad/adjoint kernels: the vjp of a cond doubles the transpose
+    plumbing for no measured backward win."""
     x0, x1, x2, p0, p1, p2, E = xp
     y0, y1, y2, q0, q1, q2 = cand
     r_cap, r_esc, lam_max = scal[4], scal[5], scal[6]
@@ -212,19 +224,43 @@ def _events_merge(xp, cand, dt, lam, status, hit_obj, scal, sph, *,
     if n_sph:
         dx0, dx1, dx2 = y0 - x0, y1 - x1, y2 - x2
         aa = dx0 * dx0 + dx1 * dx1 + dx2 * dx2
-        denom_a = jnp.where(aa > 0, 2.0 * aa, 1.0)
-        for k in range(n_sph):
-            cx, cy, cz, rad = sph[k, 0], sph[k, 1], sph[k, 2], sph[k, 3]
-            o0, o1, o2 = x0 - cx, x1 - cy, x2 - cz
-            bb = 2.0 * (o0 * dx0 + o1 * dx1 + o2 * dx2)
-            cc = o0 * o0 + o1 * o1 + o2 * o2 - rad * rad
-            disc = bb * bb - 4.0 * aa * cc
-            # guarded sqrt: see integrate._sphere_events (NaN-jacobian trap)
-            sq = jnp.sqrt(jnp.where(disc > 0, disc, 1.0))
-            t = (-bb - sq) / denom_a
-            valid = (disc > 0) & (t >= 0.0) & (t <= 1.0) & (t < t_sph)
-            t_sph = jnp.where(valid, t, t_sph)
-            sph_id = jnp.where(valid, k, sph_id)
+
+        def sphere_tests(_):
+            denom_a = jnp.where(aa > 0, 2.0 * aa, 1.0)
+            ts, ids = t_sph, sph_id
+            for k in range(n_sph):
+                cx, cy, cz = sph[k, 0], sph[k, 1], sph[k, 2]
+                rad = sph[k, 3]
+                o0, o1, o2 = x0 - cx, x1 - cy, x2 - cz
+                bb = 2.0 * (o0 * dx0 + o1 * dx1 + o2 * dx2)
+                cc = o0 * o0 + o1 * o1 + o2 * o2 - rad * rad
+                disc = bb * bb - 4.0 * aa * cc
+                # guarded sqrt: integrate._sphere_events (NaN-jacobian trap)
+                sq = jnp.sqrt(jnp.where(disc > 0, disc, 1.0))
+                t = (-bb - sq) / denom_a
+                valid = (disc > 0) & (t >= 0.0) & (t <= 1.0) & (t < ts)
+                ts = jnp.where(valid, t, ts)
+                ids = jnp.where(valid, k, ids)
+            return ts, ids
+
+        if guard_spheres:
+            # conservative per-tile possibility test (see docstring);
+            # EUCLIDEAN radius of y regardless of metric -- the sphere
+            # geometry is Euclidean
+            L = jnp.sqrt(aa)
+            re = jnp.sqrt(y0 * y0 + y1 * y1 + y2 * y2)
+            possible = jnp.zeros_like(active)
+            for k in range(n_sph):
+                ck = jnp.sqrt(sph[k, 0] * sph[k, 0] + sph[k, 1] * sph[k, 1]
+                              + sph[k, 2] * sph[k, 2])
+                rad = sph[k, 3]
+                possible = possible | (
+                    (re - L <= ck + rad) & (re + L >= ck - rad))
+            t_sph, sph_id = lax.cond(
+                jnp.any(possible & active), sphere_tests,
+                lambda _: (t_sph, sph_id), None)
+        else:
+            t_sph, sph_id = sphere_tests(None)
 
     # --- endpoint classification ------------------------------------------
     rb = radius(y0, y1, y2)
@@ -276,7 +312,7 @@ def _events_merge(xp, cand, dt, lam, status, hit_obj, scal, sph, *,
 
 
 def _soa_step(xp, lam, status, hit_obj, scal, sph, *, has_disk, n_sph,
-              kerr=False, enabled=None, power=1.0):
+              kerr=False, enabled=None, power=1.0, guard_spheres=False):
     """One RK4 step + event handling on (S, 128) component tiles.
 
     Mirrors integrate._fixed_step + _apply_events (kept in lockstep; parity
@@ -322,7 +358,8 @@ def _soa_step(xp, lam, status, hit_obj, scal, sph, *, has_disk, n_sph,
 
     return _events_merge(xp, (y0, y1, y2, q0, q1, q2), dt, lam, status,
                          hit_obj, scal, sph, has_disk=has_disk,
-                         n_sph=n_sph, kerr=kerr)
+                         n_sph=n_sph, kerr=kerr,
+                         guard_spheres=guard_spheres)
 
 
 # Dormand-Prince 5(4) tableau (integrate._DP_A/_DP_B5/_DP_B4, inlined here
@@ -346,7 +383,7 @@ _DP_E = tuple(
 
 def _dopri_trip(xp, h, lam, status, hit_obj, scal, sph, *, has_disk, n_sph,
                 kerr, rtol, atol, min_step, max_step, enabled,
-                grad_guard=False):
+                grad_guard=False, guard_spheres=False):
     """One adaptive Dormand-Prince 5(4) TRIP (attempt) on SoA tiles: embed,
     test the error, accept-or-reject, rescale the per-ray step ``h`` -- the
     exact SoA twin of one ``integrate.integrate_adaptive`` while-loop body
@@ -409,7 +446,8 @@ def _dopri_trip(xp, h, lam, status, hit_obj, scal, sph, *, has_disk, n_sph,
 
     xp1, lam1, st1, obj1 = _events_merge(
         xp, y, dt, lam, status, hit_obj, scal, sph,
-        has_disk=has_disk, n_sph=n_sph, kerr=kerr)
+        has_disk=has_disk, n_sph=n_sph, kerr=kerr,
+        guard_spheres=guard_spheres)
 
     sel = lambda a, b: jnp.where(accept, a, b)
     xp_next = tuple(sel(a, b) for a, b in zip(xp1[:6], xp))
@@ -454,7 +492,8 @@ def _fwd_dopri_kernel(scal_ref, sph_ref,
                     has_disk=has_disk, n_sph=n_sph, kerr=kerr,
                     rtol=rtol, atol=atol, min_step=min_step,
                     max_step=max_step,
-                    enabled=i * chunk + j < n_steps)
+                    enabled=i * chunk + j < n_steps,
+                    guard_spheres=True)
 
             return lax.fori_loop(0, chunk, inner, carry)
 
@@ -1137,7 +1176,8 @@ def _fwd_fast_kernel(scal_ref, sph_ref,
                 return _soa_step(xp, lam, st, obj, scal, sph,
                                  has_disk=has_disk, n_sph=n_sph, kerr=kerr,
                                  power=power,
-                                 enabled=i * chunk + j < n_steps)
+                                 enabled=i * chunk + j < n_steps,
+                                 guard_spheres=True)
 
             return lax.fori_loop(0, chunk, inner, carry)
 
