@@ -114,9 +114,29 @@ def _sharded_render_fn(mesh: Mesh, cfg: RenderConfig, multisample: bool):
     would serialize ~6 ms of host time into every frame).  The replicated
     output sharding makes XLA all-gather the ray shards into the full frame
     on every device/host (the multi-host counterpart of the reference's
-    update_result flush, RelativisticRenderEngine.py:162)."""
+    update_result flush, RelativisticRenderEngine.py:162).
+
+    DEGENERATE-MESH BYPASS: on a 1x1 mesh (one chip, no multisample axis)
+    the round-robin deal is the identity and there are no collectives, so
+    the whole flat-batch plumbing -- deal, channel-major assembly,
+    unpermute -- is pure overhead charged against the multi-host scaling
+    budget before a single ICI hop exists.  That case renders the 2D pixel
+    grid directly (the exact unsharded program, bit-identical pixels) under
+    the same jit/output contract."""
     x0, x1, y0, y1 = cfg.crop()
     hc, wc = y1 - y0, x1 - x0
+
+    if (mesh.shape[RAY_AXIS] == 1 and mesh.shape[SAMPLE_AXIS] == 1
+            and not multisample):
+        from ..render.renderer import _render_image_impl
+
+        def direct(scene, cam, keys, ys, xs):
+            del keys, ys, xs
+            # samples == 1 (multisample False): the key is never consumed
+            return _render_image_impl(
+                scene, cam, cfg, jax.random.PRNGKey(cfg.seed))
+
+        return jax.jit(direct, out_shardings=NamedSharding(mesh, P()))
 
     # Per-shard ray batches beyond ~1M rays are processed in lax.map
     # chunks: at 4096^2 the one-shot shading pipeline materializes
@@ -254,10 +274,20 @@ def render_stokes_sharded(
 def _sharded_stokes_fn(mesh: Mesh, cfg: RenderConfig):
     """Cached fused shard_map + gather-back assembly for the Stokes render
     (one jit, one dispatch; see _sharded_render_fn)."""
-    from ..render.renderer import stokes_rays
+    from ..render.renderer import render_stokes, stokes_rays
 
     x0, x1, y0, y1 = cfg.crop()
     hc, wc = y1 - y0, x1 - x0
+
+    if mesh.shape[RAY_AXIS] == 1 and mesh.shape[SAMPLE_AXIS] == 1:
+        # degenerate mesh: render the grid directly (see _sharded_render_fn)
+        repl0 = NamedSharding(mesh, P())
+
+        def direct(scene, cam, ys, xs):
+            del ys, xs
+            return render_stokes(scene, cam, cfg)
+
+        return jax.jit(direct, out_shardings=(repl0, repl0, repl0))
     local_sm = shard_map(
         lambda sc, c, ys_, xs_: stokes_rays(sc, c, cfg, ys_, xs_),
         mesh=mesh,
@@ -304,10 +334,20 @@ def polarization_map_sharded(
 def _sharded_polarization_fn(mesh: Mesh, cfg: RenderConfig):
     """Cached fused shard_map + gather-back assembly for the polarization
     map (one jit, one dispatch; see _sharded_render_fn)."""
+    from ..camera.pinhole import pixel_grid
     from ..render.renderer import polarization_rays
 
     x0, x1, y0, y1 = cfg.crop()
     hc, wc = y1 - y0, x1 - x0
+
+    if mesh.shape[RAY_AXIS] == 1 and mesh.shape[SAMPLE_AXIS] == 1:
+        # degenerate mesh: render the grid directly (see _sharded_render_fn)
+        def direct(scene, cam, ys, xs):
+            del ys, xs
+            gys, gxs = pixel_grid(cfg.width, cfg.height, x0, x1, y0, y1)
+            return polarization_rays(scene, cam, cfg, gys, gxs)
+
+        return jax.jit(direct, out_shardings=NamedSharding(mesh, P()))
     local_sm = shard_map(
         lambda sc, c, ys_, xs_: polarization_rays(sc, c, cfg, ys_, xs_),
         mesh=mesh,

