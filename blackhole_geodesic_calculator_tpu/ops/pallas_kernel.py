@@ -205,6 +205,9 @@ def _events_merge(xp, cand, dt, lam, status, hit_obj, scal, sph, *,
             return _ks_radius_soa(spin)(a0, a1, a2)
         return jnp.sqrt(a0 * a0 + a1 * a1 + a2 * a2)
 
+    # endpoint radius; computed first so the sphere guard can reuse it
+    rb = radius(y0, y1, y2)
+
     # --- events on the segment (x -> y); integrate._apply_events ----------
     disk_p0 = disk_p1 = None
     t_disk = jnp.full_like(x0, _INF)
@@ -244,18 +247,22 @@ def _events_merge(xp, cand, dt, lam, status, hit_obj, scal, sph, *,
             return ts, ids
 
         if guard_spheres:
-            # conservative per-tile possibility test (see docstring);
-            # EUCLIDEAN radius of y regardless of metric -- the sphere
-            # geometry is Euclidean
+            # conservative per-tile possibility test (see docstring).  The
+            # sphere geometry is EUCLIDEAN; rb is reused as the radius
+            # proxy: for Schwarzschild rb IS the Euclidean |y|, for Kerr
+            # the KS radius brackets it as rb <= |y| <= sqrt(rb^2 + a^2)
+            # <= rb + |a|, so widening the band by |a| stays conservative
+            # without a second sqrt.
             L = jnp.sqrt(aa)
-            re = jnp.sqrt(y0 * y0 + y1 * y1 + y2 * y2)
+            slack = jnp.abs(spin) if kerr else 0.0
             possible = jnp.zeros_like(active)
             for k in range(n_sph):
                 ck = jnp.sqrt(sph[k, 0] * sph[k, 0] + sph[k, 1] * sph[k, 1]
                               + sph[k, 2] * sph[k, 2])
                 rad = sph[k, 3]
                 possible = possible | (
-                    (re - L <= ck + rad) & (re + L >= ck - rad))
+                    (rb - L <= ck + rad)
+                    & (rb + slack + L >= ck - rad))
             t_sph, sph_id = lax.cond(
                 jnp.any(possible & active), sphere_tests,
                 lambda _: (t_sph, sph_id), None)
@@ -263,7 +270,6 @@ def _events_merge(xp, cand, dt, lam, status, hit_obj, scal, sph, *,
             t_sph, sph_id = sphere_tests(None)
 
     # --- endpoint classification ------------------------------------------
-    rb = radius(y0, y1, y2)
     lam1 = lam + dt
     finite = (
         jnp.isfinite(y0) & jnp.isfinite(y1) & jnp.isfinite(y2)
