@@ -94,6 +94,60 @@ def _ft_from_orthogonality(g, k4, f3):
     return -(f3 @ k_low[1:]) / k_low[0]
 
 
+def ks_directional_christoffel(mass, a):
+    """Analytic Kerr-Schild contraction Gamma^s_{mu nu} k^mu v^nu without
+    ever building the (4, 4, 4) Christoffel.
+
+    Exploits the Kerr-Schild structure g = eta + 2 H l l (l null):
+
+        d_alpha g_{mu nu} = 2 [H_alpha l_mu l_nu
+                               + H (l_{mu,alpha} l_nu + l_mu l_{nu,alpha})]
+        g^{s rho}        = eta^{s rho} - 2 H l^s l^rho   (exact)
+
+    so the contraction collapses to a handful of 3-vector products of
+    (H, l) and their spatial jacobian (the only quantities differentiated
+    -- via jacfwd of the ~30-flop ``ks_scalars``, not of the full metric
+    build).  Measured ~4x the throughput of contracting the AD-derived
+    Christoffel per RK stage; exactly equal to
+    ``Metric.christoffel`` contractions (parity-tested).
+
+    Returns ``contract(x4, k4, v4) -> Gamma^s_{mu nu} k^mu v^nu`` (shape
+    (4,)); use v4 = k4 for the geodesic RHS and v4 = f4 for transport.
+    """
+    from ..models.kerr import ks_scalars
+
+    def contract(x4, k4, v4):
+        x3 = x4[1:]
+        H, l3 = ks_scalars(x3, mass, a)
+        dH, J3 = jax.jacfwd(lambda q: ks_scalars(q, mass, a))(x3)
+        k0, k3v = k4[0], k4[1:]
+        v0, v3v = v4[0], v4[1:]
+        u = k0 + l3 @ k3v            # l_mu k^mu
+        w = v0 + l3 @ v3v
+        Hk = dH @ k3v
+        Hv = dH @ v3v
+        a3 = J3 @ k3v                # a_i = l_{i,j} k^j  (time parts 0)
+        b3 = J3 @ v3v
+        c3 = J3.T @ k3v              # c_j = l_{i,j} k^i
+        d3v = J3.T @ v3v
+        va = v3v @ a3
+        kb = k3v @ b3
+        # V_rho = 1/2 k^mu v^nu (d_mu g_{nu rho} + d_nu g_{rho mu}
+        #                        - d_rho g_{mu nu})
+        S = Hk * w + Hv * u + H * (va + kb)
+        V0 = S                        # l_0 = 1, H_0 = 0, a_0 = c_0 = 0
+        V3 = (S * l3 + H * (w * a3 + u * b3) - (u * w) * dH
+              - H * (w * c3 + u * d3v))
+        # raise with g^{s rho} = eta^{s rho} - 2 H l^s l^rho,
+        # l^rho = (-1, l3)
+        lv = -V0 + l3 @ V3
+        g0 = -V0 - 2.0 * H * (-1.0) * lv
+        g3 = V3 - 2.0 * H * lv * l3
+        return jnp.concatenate([g0[None], g3])
+
+    return contract
+
+
 def transport_polarization_ode(metric, x3: Array, d3: Array, f3: Array, *,
                                n_steps: int = 600, dt: float = 0.1,
                                r_stop: float = 70.0, r_capture: float = 1.0,
@@ -134,11 +188,21 @@ def transport_polarization_ode(metric, x3: Array, d3: Array, f3: Array, *,
         f4 = jnp.concatenate([ft[None], f3i])
         gff0 = jnp.einsum("mn,m,n->", g0, f4, f4)
 
-        def rhs(x4, k4, f4):
-            gam = metric.christoffel(x4)
-            dk = -jnp.einsum("smn,m,n->s", gam, k4, k4)
-            df = -jnp.einsum("smn,m,n->s", gam, k4, f4)
-            return k4, dk, df
+        if metric.name in ("kerr_ks", "schwarzschild_ks"):
+            # Kerr-Schild fast path: analytic directional contraction
+            # (ks_directional_christoffel), ~4x the generic AD path
+            mass_p = metric.params[0]
+            spin_p = metric.params[1] if len(metric.params) > 1 else 0.0
+            kontract = ks_directional_christoffel(mass_p, spin_p)
+
+            def rhs(x4, k4, f4):
+                return (k4, -kontract(x4, k4, k4), -kontract(x4, k4, f4))
+        else:
+            def rhs(x4, k4, f4):
+                gam = metric.christoffel(x4)
+                dk = -jnp.einsum("smn,m,n->s", gam, k4, k4)
+                df = -jnp.einsum("smn,m,n->s", gam, k4, f4)
+                return k4, dk, df
 
         def step(carry, _):
             x4, k4, f4, alive = carry

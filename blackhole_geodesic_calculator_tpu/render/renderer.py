@@ -392,9 +392,11 @@ def polarization_rays(scene: Scene, cam: Camera, cfg: RenderConfig,
         return jnp.where(escaped, ang, jnp.nan)
 
     # Kerr: parallel-transport ODE (frame dragging adds gravitational
-    # Faraday rotation the closed form cannot capture).  ~40x the flops of
-    # the Hamiltonian render path -- a science instrument, use modest
-    # resolutions.  Observable: rotation of the transported in-plane basis
+    # Faraday rotation the closed form cannot capture).  KS metrics take
+    # the analytic directional-Christoffel contraction
+    # (ops/polarization.ks_directional_christoffel, ~3x the generic AD
+    # path), but this is still ~10x the flops of the Hamiltonian render
+    # path -- a science instrument, use modest resolutions.  Observable: rotation of the transported in-plane basis
     # vector relative to the escape-frame in-plane basis.
     from ..models import kerr_ks_metric
 

@@ -418,3 +418,63 @@ def test_stokes_angle_matches_ode_transport():
     chi_self = np.arctan2(f_cam @ rot[:, 1], f_cam @ rot[:, 0])
     dd = (chi_self - chi_cf + np.pi / 2) % np.pi - np.pi / 2
     assert abs(dd) < 0.03, (chi_cf, chi_self)
+
+
+def test_ks_directional_christoffel_matches_ad():
+    """The analytic Kerr-Schild contraction (no (4,4,4) Christoffel ever
+    built -- the ~3x transport fast path) equals the AD-derived
+    Metric.christoffel contraction for both Gamma.k.k and Gamma.k.f,
+    across spins including a = 0 and a < 0."""
+    from blackhole_geodesic_calculator_tpu.models import kerr_ks_metric
+    from blackhole_geodesic_calculator_tpu.ops.polarization import (
+        ks_directional_christoffel,
+    )
+
+    rng = np.random.default_rng(3)
+    for mass, a in ((0.5, 0.45), (0.5, 0.0), (1.0, 0.9), (0.5, -0.3)):
+        m = kerr_ks_metric(mass, a)
+        con = ks_directional_christoffel(mass, a)
+        for _ in range(10):
+            x4 = jnp.asarray(np.r_[0.0, rng.uniform(-10, 10, 3)],
+                             jnp.float32)
+            k4 = jnp.asarray(rng.normal(size=4), jnp.float32)
+            f4 = jnp.asarray(rng.normal(size=4), jnp.float32)
+            gam = m.christoffel(x4)
+            for v4 in (k4, f4):
+                want = np.asarray(jnp.einsum("smn,m,n->s", gam, k4, v4))
+                got = np.asarray(con(x4, k4, v4))
+                np.testing.assert_allclose(
+                    got, want, rtol=2e-5,
+                    atol=2e-5 * max(np.abs(want).max(), 1e-3))
+
+
+def test_transport_fast_path_matches_generic():
+    """transport_polarization_ode dispatches KS metrics to the analytic
+    contraction; the observable polarization must match the generic
+    AD-Christoffel path to f32 noise."""
+    import dataclasses
+
+    from blackhole_geodesic_calculator_tpu.models import kerr_ks_metric
+    from blackhole_geodesic_calculator_tpu.ops.polarization import (
+        transport_polarization_ode,
+    )
+
+    m = kerr_ks_metric(0.5, 0.45)
+    rng = np.random.default_rng(5)
+    n = 32
+    x3 = jnp.asarray(np.c_[rng.uniform(4, 9, n), rng.uniform(4, 9, n),
+                           rng.uniform(-2, 2, n)], jnp.float32)
+    d3 = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    d3 = d3 / jnp.linalg.norm(d3, axis=-1, keepdims=True)
+    f3 = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    f3 = f3 - jnp.sum(f3 * d3, -1, keepdims=True) * d3
+    f3 = f3 / jnp.linalg.norm(f3, axis=-1, keepdims=True)
+
+    kw = dict(n_steps=200, dt=0.1)
+    fast = transport_polarization_ode(m, x3, d3, f3, **kw)
+    generic = transport_polarization_ode(
+        dataclasses.replace(m, name="generic_kerr"), x3, d3, f3, **kw)
+    np.testing.assert_allclose(np.asarray(fast[0]),
+                               np.asarray(generic[0]), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(fast[1]),
+                               np.asarray(generic[1]), atol=5e-5)
