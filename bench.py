@@ -805,6 +805,29 @@ def bench_stokes(size, steps, repeat):
           f"per_call_ms={[round(t*1e3,1) for t in times]} "
           f"median={np.median(times)*1e3:.1f}", file=sys.stderr)
 
+    # --- Kerr polarization map (frame-dragging Faraday rotation): the
+    # per-pixel parallel-transport ODE via the analytic Kerr-Schild
+    # directional-Christoffel contraction.  Round-4 verdict: this path's
+    # on-chip cost was unknown -- now a row.
+    from blackhole_geodesic_calculator_tpu.render import polarization_map
+    from blackhole_geodesic_calculator_tpu.scene import BlackHole
+
+    psize = 256
+    scene_k = Scene(bh=BlackHole.make(mass=0.5, spin=0.45), background=sky)
+    pcfg = dataclasses.replace(
+        make_render_cfg(psize, steps), lam_max=200.0)
+    pmap = jax.jit(lambda s, c: polarization_map(s, c, pcfg))
+    pipelined, times = time_step(pmap, (scene_k, cam), max(2, repeat // 2))
+    rays = psize * psize / pipelined
+    emit(f"kerr_polarization_rays_per_s_{psize}x{psize}", rays, "rays/s",
+         rays / NORTH_STAR,
+         note="Kerr a/M=0.9 frame-dragging Faraday map; per-pixel "
+         "transport ODE with the analytic KS directional-Christoffel "
+         "contraction")
+    print(f"# kerr_polarization pipelined={pipelined*1e3:.1f} ms "
+          f"per_call_ms={[round(t*1e3,1) for t in times]} "
+          f"median={np.median(times)*1e3:.1f}", file=sys.stderr)
+
 
 def bench_surrogate(repeat, train_steps=15000):
     """Learned Kerr scattering surrogate (models/surrogate.py): the

@@ -81,6 +81,9 @@ LABELS = {
     "stokes_rays_per_s_fwd_sharded_1024x1024":
         "polarized Stokes 1024² sharded render (I/Q/U parity vs unsharded "
         "asserted)",
+    "kerr_polarization_rays_per_s_256x256":
+        "**Kerr frame-dragging Faraday map** (per-pixel transport ODE, "
+        "analytic KS directional-Christoffel contraction)",
     "surrogate_kerr_rays_per_s":
         "**learned Kerr scattering surrogate** (256×5 MLP, f32 MXU "
         "inference; trained on-chip against the Pallas integrator)",
