@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Spin-dependent polarization transport around a Kerr black hole.
+
+In Schwarzschild spacetime, parallel transport produces NO polarization
+rotation relative to the orbital-plane decomposition (Plebanski 1960) --
+the closed form `ops/polarization.transport_polarization` is exact.
+Around a KERR hole that law breaks: the transported polarization acquires
+an extra rotation relative to the Schwarzschild-law prediction for the
+same escape direction, combining gravitational Faraday rotation (odd
+under spin reversal) with spin-induced out-of-plane transport geometry
+(even).  This example measures that excess per pixel via the
+parallel-transport ODE (the analytic Kerr-Schild directional-Christoffel
+fast path, `ops/polarization.ks_directional_christoffel`) and asserts the
+three physics signatures:
+
+(a) the a = 0 excess is ~0 to float noise -- the no-Faraday theorem, and
+    a stringent end-to-end validation of the transport ODE against the
+    independent closed form;
+(b) the excess grows monotonically with spin;
+(c) a substantial part of it is ODD under spin reversal a -> -a
+    (computed from the +a / -a map pair): the rotation knows the
+    DIRECTION of frame dragging, not just its magnitude -- the
+    unambiguous dragging signature no static metric can produce.
+
+Camera: equatorial view (position on -y, spin axis +z up in the image).
+Writes maps to npz (+ PNG quick-look) and a JSON summary.
+
+Run: python examples/kerr_faraday.py          (~1-2 min CPU at 96x96)
+CI smoke: tests/test_io_cli.py::test_kerr_faraday_example_smoke
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=96)
+    ap.add_argument("--spins", type=float, nargs="+",
+                    default=[0.0, 0.25, 0.45])
+    ap.add_argument("--n-steps", type=int, default=600)
+    ap.add_argument("--outdir", default=".")
+    args = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from blackhole_geodesic_calculator_tpu.camera import Camera
+    from blackhole_geodesic_calculator_tpu.camera.pinhole import (
+        generate_rays, pixel_grid,
+    )
+    from blackhole_geodesic_calculator_tpu.models import kerr_ks_metric
+    from blackhole_geodesic_calculator_tpu.ops.polarization import (
+        _unit, plane_normal, transport_polarization,
+        transport_polarization_ode,
+    )
+
+    size = args.size
+    D = 25.0
+    cam = Camera.make(position=(0.0, -D, 0.0),
+                      euler=(jnp.pi / 2, 0.0, 0.0), fov=(0.55, 0.55))
+    ys, xs = pixel_grid(size, size, 0, size, 0, size)
+    o, d = generate_rays(cam, size, size, ys, xs, None)
+    o3 = o.reshape(-1, 3)
+    d3 = d.reshape(-1, 3)
+    n = plane_normal(o3, d3)
+    f0 = _unit(jnp.cross(d3, n))      # in-plane launch polarization
+
+    def excess_map(a):
+        """Signed angle between the ODE-transported polarization and the
+        Schwarzschild-law prediction for the SAME escape direction."""
+        metric = kerr_ks_metric(0.5, a)
+        f_obs, d1, x1, _ = transport_polarization_ode(
+            metric, o3, d3, f0, n_steps=args.n_steps, dt=0.08,
+            r_stop=2.0 * D, dt_boost=16.0, r_ref=1.6)
+        esc = np.asarray(jnp.linalg.norm(x1, axis=-1) >= 0.99 * 2 * D)
+        f_pred = transport_polarization(o3, d3, f0, d1)
+        cosang = jnp.clip(jnp.sum(f_obs * f_pred, -1), -1.0, 1.0)
+        sgn = jnp.sign(jnp.sum(jnp.cross(f_pred, f_obs) * d1, -1))
+        ang = np.asarray(jnp.arccos(cosang) * sgn)
+        return np.where(esc, ang, np.nan).reshape(size, size)
+
+    results, excess_rms = {}, []
+    for a in args.spins:
+        results[a] = excess_map(a)
+        rms = float(np.sqrt(np.nanmean(results[a] ** 2)))
+        excess_rms.append(rms)
+        print(f"a = {a:+.2f}: transport excess rms {rms:.2e} rad",
+              flush=True)
+
+    # --- signature (a): exact zero at a = 0 (ODE vs closed form) ----------
+    assert excess_rms[0] < 2e-3, excess_rms
+    # --- signature (b): monotonic growth with spin ------------------------
+    assert all(hi > 1.5 * lo
+               for lo, hi in zip(excess_rms[:-1], excess_rms[1:])), \
+        excess_rms
+    # --- signature (c): substantial spin-ODD component --------------------
+    a_top = args.spins[-1]
+    e_plus = results[a_top]
+    e_minus = excess_map(-a_top)
+    both = np.isfinite(e_plus) & np.isfinite(e_minus)
+    odd = 0.5 * (e_plus - e_minus)
+    tot = np.sqrt(np.nanmean(e_plus[both] ** 2))
+    odd_rms = np.sqrt(np.nanmean(odd[both] ** 2))
+    frac = float(odd_rms / max(tot, 1e-12))
+    print(f"spin-odd fraction of the excess at a = {a_top}: {frac:.2f} "
+          f"(odd rms {odd_rms:.2e} / total {tot:.2e} rad)")
+    assert frac > 0.25, frac
+
+    os.makedirs(args.outdir, exist_ok=True)
+    out = os.path.join(args.outdir, "kerr_faraday.npz")
+    np.savez(out, odd_component=odd,
+             **{f"excess_a{a:g}": results[a] for a in args.spins})
+    with open(os.path.join(args.outdir, "kerr_faraday.json"), "w") as f:
+        json.dump({"spins": args.spins, "excess_rms": excess_rms,
+                   "spin_odd_fraction": frac}, f, indent=1)
+    try:
+        from PIL import Image
+
+        m = odd
+        v = np.nan_to_num(m / max(np.nanmax(np.abs(m)), 1e-9))
+        rgb = np.stack([np.clip(v, 0, 1), np.zeros_like(v),
+                        np.clip(-v, 0, 1)], -1)
+        Image.fromarray((rgb * 255).astype(np.uint8)).save(
+            os.path.join(args.outdir, "kerr_faraday.png"))
+    except Exception:
+        pass
+    print(f"maps written to {out}")
+    print("KERR TRANSPORT SIGNATURES OK (zero at a=0, growing with spin, "
+          "spin-odd component present)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -559,3 +559,28 @@ def test_fit_orbit_example_smoke(tmp_path):
     assert rep["loss_last"] < 0.5 * rep["loss_first"], rep
     m0, m1 = rep["init"]["mass"], rep["recovered"]["mass"]
     assert abs(m1 - 0.5) < abs(m0 - 0.5), rep
+
+
+def test_kerr_faraday_example_smoke(tmp_path):
+    """examples/kerr_faraday.py asserts the spin-dependent transport
+    signatures (zero excess at a=0 validating the ODE against the closed
+    form; growth with spin; a substantial spin-odd component) -- run at
+    reduced size."""
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ,
+               PYTHONPATH=root,
+               JAX_PLATFORMS="cpu",
+               XLA_FLAGS=(os.environ.get("XLA_FLAGS", "")
+                          + " --xla_force_host_platform_device_count=8"))
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "examples", "kerr_faraday.py"),
+         "--size", "40", "--n-steps", "400", "--outdir", str(tmp_path)],
+        capture_output=True, text=True, timeout=900, env=env)
+    assert r.returncode == 0, r.stdout + r.stderr
+    with open(tmp_path / "kerr_faraday.json") as f:
+        rep = json.load(f)
+    assert rep["excess_rms"][0] < 2e-3
+    assert rep["spin_odd_fraction"] > 0.25
