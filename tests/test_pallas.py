@@ -351,3 +351,34 @@ def test_dopri_grad_kernel_adjoint_kerr():
     for name, r, p in zip(("mass", "spin"), g_r, g_p):
         rel = abs(float(p - r)) / max(abs(float(r)), 1e-12)
         assert rel < 5e-2, f"{name} grad rel err {rel:.3e}"
+
+
+def test_forward_parity_guard_stress():
+    """Sphere-guard stress: spheres placed where the conservative
+    radius-shell test is tightest -- deep in the strong field (photon-
+    sphere radii, where step segments are short) and far out (where the
+    r^1.5 schedule makes L large) -- plus a Kerr case exercising the
+    |a|-widened band.  Statuses/hit ids must match the XLA path exactly
+    (a mis-culled sphere test would flip OBJECT statuses)."""
+    x0, d0 = rays(n=1200, seed=7)
+    for spin, centers, radii in (
+            (None, [[0.0, 2.6, 0.0], [0.0, 0.0, 30.0]], [0.7, 2.0]),
+            (0.45, [[2.0, 0.0, 0.3], [-6.0, 6.0, 0.0]], [0.8, 1.0]),
+    ):
+        env = GeodesicEnv(
+            mass=jnp.asarray(0.5), r_capture=jnp.asarray(1.0),
+            r_escape=jnp.asarray(60.0), lam_max=jnp.asarray(60.0),
+            spin=None if spin is None else jnp.asarray(spin),
+            spheres=SphereGeom(center=jnp.asarray(centers),
+                               radius=jnp.asarray(radii)))
+        cfg = dataclasses.replace(CFG, dt_boost=64.0, dt_power=1.5,
+                                  dt_boost_r_ref=1.7)
+        s_ref = launch(env, x0, d0, cfg)
+        p0, E0 = null_init(x0, d0, env.mass, env.spin)
+        s0 = states.init_state(x0, p0, E0)
+        s_pal = integrate_pallas(env, s0, cfg, interpret=True)
+        np.testing.assert_array_equal(np.asarray(s_ref.status),
+                                      np.asarray(s_pal.status))
+        np.testing.assert_array_equal(np.asarray(s_ref.hit_obj),
+                                      np.asarray(s_pal.hit_obj))
+        assert int(np.sum(np.asarray(s_ref.status) == states.OBJECT)) >= 2
