@@ -699,29 +699,41 @@ def bench_sharded(size, steps, repeat):
         raise SystemExit("sharded Trainer.step gradient parity FAILED")
 
     # --- forward parity + throughput at `size` and 4096 ------------------
+    # Two rows per size: the PRODUCT path (render_image_sharded, which on
+    # this 1x1 bench mesh takes the degenerate-mesh bypass -- the direct
+    # grid program) and the GENERAL path (_force_general: the full
+    # shard_map + round-robin deal + channel-major assembly machinery the
+    # multi-device meshes run).  The parity gate runs against the GENERAL
+    # path, so a hardware regression in the deal/assembly cannot hide
+    # behind the bypass.
     for sz, rep in ((size, repeat), (4096, max(2, repeat // 2))):
         cfg = make_render_cfg(sz, steps)
-        img = jax.block_until_ready(
-            render_image_sharded(scene0, cam, cfg, mesh))
+        img = jax.block_until_ready(render_image_sharded(
+            scene0, cam, cfg, mesh, _force_general=True))
         ref = np.asarray(render_image(scene0, cam, cfg))
         d = np.abs(np.asarray(img) - ref)
         bad = float((d > 1e-4).mean())
-        print(f"# sharded-pixel-parity {sz}x{sz} max|d|={d.max():.3e} "
-              f"frac>1e-4={bad:.2e} "
+        print(f"# sharded-pixel-parity(general) {sz}x{sz} "
+              f"max|d|={d.max():.3e} frac>1e-4={bad:.2e} "
               f"{'OK' if d.max() < 1e-2 and bad < 1e-3 else 'FAIL'}",
               file=sys.stderr)
         if not (d.max() < 1e-2 and bad < 1e-3):
             raise SystemExit("sharded render pixel parity FAILED")
-        pipelined, times = time_step(
-            lambda: render_image_sharded(scene0, cam, cfg, mesh), (), rep)
-        rays = sz * sz / pipelined
-        emit(f"geodesic_rays_per_s_fwd_sharded_{sz}x{sz}", rays, "rays/s",
-             rays / NORTH_STAR,
-             note=f"render_image_sharded, mesh={dict(mesh.shape)}, "
-             "pixel parity vs unsharded asserted")
-        print(f"# sharded_fwd_{sz} pipelined={pipelined*1e3:.1f} ms "
-              f"per_call_ms={[round(t*1e3,1) for t in times]} "
-              f"median={np.median(times)*1e3:.1f}", file=sys.stderr)
+        for tag, force in (("", False), ("_general", True)):
+            pipelined, times = time_step(
+                lambda f=force: render_image_sharded(
+                    scene0, cam, cfg, mesh, _force_general=f), (), rep)
+            rays = sz * sz / pipelined
+            note = (f"render_image_sharded, mesh={dict(mesh.shape)}, "
+                    + ("degenerate-mesh bypass (= direct grid program); "
+                       "general-path parity asserted" if not force else
+                       "full shard_map+deal+assembly machinery forced; "
+                       "pixel parity vs unsharded asserted"))
+            emit(f"geodesic_rays_per_s_fwd_sharded{tag}_{sz}x{sz}", rays,
+                 "rays/s", rays / NORTH_STAR, note=note)
+            print(f"# sharded_fwd{tag}_{sz} pipelined={pipelined*1e3:.1f} "
+                  f"ms per_call_ms={[round(t*1e3,1) for t in times]} "
+                  f"median={np.median(times)*1e3:.1f}", file=sys.stderr)
 
     # --- fwd+bwd throughput at `size`: one Trainer.step ------------------
     cfg = make_render_cfg(size, steps)
@@ -785,11 +797,16 @@ def bench_stokes(size, steps, repeat):
 
     mesh = make_mesh()
     ref = jax.block_until_ready(stokes(scene, cam))
-    shd = jax.block_until_ready(render_stokes_sharded(scene, cam, cfg, mesh))
+    # parity against the GENERAL path (full shard_map + deal + assembly)
+    # so the gate exercises the multi-device machinery, not the
+    # degenerate-mesh bypass
+    shd = jax.block_until_ready(render_stokes_sharded(
+        scene, cam, cfg, mesh, _force_general=True))
     worst = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(ref, shd))
     bad = max(float(jnp.mean((jnp.abs(a - b) > 1e-4).astype(jnp.float32)))
               for a, b in zip(ref, shd))
-    print(f"# stokes-sharded-parity max|d|={worst:.3e} frac>1e-4={bad:.2e} "
+    print(f"# stokes-sharded-parity(general) max|d|={worst:.3e} "
+          f"frac>1e-4={bad:.2e} "
           f"{'OK' if worst < 1e-2 and bad < 1e-3 else 'FAIL'}",
           file=sys.stderr)
     if not (worst < 1e-2 and bad < 1e-3):
@@ -799,8 +816,8 @@ def bench_stokes(size, steps, repeat):
     rays = size * size / pipelined
     emit(f"stokes_rays_per_s_fwd_sharded_{size}x{size}", rays, "rays/s",
          rays / NORTH_STAR,
-         note=f"render_stokes_sharded, mesh={dict(mesh.shape)}, "
-         "I/Q/U parity vs unsharded asserted")
+         note=f"render_stokes_sharded, mesh={dict(mesh.shape)}; I/Q/U "
+         "parity of the general shard_map path vs unsharded asserted")
     print(f"# stokes_fwd_sharded pipelined={pipelined*1e3:.1f} ms "
           f"per_call_ms={[round(t*1e3,1) for t in times]} "
           f"median={np.median(times)*1e3:.1f}", file=sys.stderr)

@@ -457,8 +457,8 @@ class ApproxKerrGeodesic:
     """
 
     def __init__(self, ratio_obj_to_blackhole=20.0, exit_tolerance=0.1,
-                 mass=0.5, a=0.45, train_steps=1500, batch=4096,
-                 seed=0, load_path=None, save_path=None, width=128, depth=4):
+                 mass=0.5, a=0.45, train_steps=4000, batch=4096,
+                 seed=0, load_path=None, save_path=None, width=256, depth=5):
         from .models import surrogate as _sur
 
         self.ratio = float(ratio_obj_to_blackhole)

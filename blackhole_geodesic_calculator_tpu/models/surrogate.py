@@ -512,6 +512,15 @@ def load_surrogate(path) -> NeuralSurrogate:
     depth = int(z["depth"])
     params = [(jnp.asarray(z[f"w{i}"]), jnp.asarray(z[f"b{i}"]))
               for i in range(depth + 1)]
+    n_feat = int(params[0][0].shape[0])
+    want = SurrogateConfig().n_features
+    if n_feat != want:
+        raise ValueError(
+            f"surrogate {path!r} was trained with {n_feat} input features "
+            f"but this version uses {want} (the feature set gained "
+            f"|b|/log|b| in round 5); retrain with "
+            f"`bhgc-tpu train-surrogate` or models.surrogate"
+            f".train_surrogate")
     r_exit = (jnp.asarray(z["r_exit"]) if "r_exit" in z.files
               else 1.1 * jnp.asarray(z["r_influence"]))
     # npz files predating the precision field were trained in bf16

@@ -107,7 +107,8 @@ def _sharded_pixels(mesh: Mesh, cfg: RenderConfig):
 
 
 @functools.lru_cache(maxsize=64)
-def _sharded_render_fn(mesh: Mesh, cfg: RenderConfig, multisample: bool):
+def _sharded_render_fn(mesh: Mesh, cfg: RenderConfig, multisample: bool,
+                       force_general: bool = False):
     """Build the shard_map'd per-device render program WITH the framebuffer
     assembly fused in (one jit, one dispatch per frame -- host dispatch over
     a tunneled stack costs ~2 ms each, so separate render/assemble calls
@@ -127,7 +128,7 @@ def _sharded_render_fn(mesh: Mesh, cfg: RenderConfig, multisample: bool):
     hc, wc = y1 - y0, x1 - x0
 
     if (mesh.shape[RAY_AXIS] == 1 and mesh.shape[SAMPLE_AXIS] == 1
-            and not multisample):
+            and not multisample and not force_general):
         from ..render.renderer import _render_image_impl
 
         def direct(scene, cam, keys, ys, xs):
@@ -206,12 +207,18 @@ def render_image_sharded(
     cfg: RenderConfig,
     mesh: Mesh | None = None,
     key: Array | None = None,
+    _force_general: bool = False,
 ) -> Array:
     """Full multisampled render on a device mesh -> (H, W, 4) RGBA.
 
     Pixel-exact with the single-device ``render_image`` for samples == 1
     (same pixel-center rays, same integrator); multisample jitters differ
     only in RNG fan-out order.
+
+    ``_force_general`` disables the degenerate-mesh bypass so the full
+    shard_map + deal + assembly machinery runs even on a 1x1 mesh -- for
+    benchmarking/parity-gating that machinery on single-chip hardware
+    (bench.py), never needed by users.
     """
     if mesh is None:
         mesh = make_mesh()
@@ -243,7 +250,7 @@ def render_image_sharded(
             NamedSharding(mesh, P(SAMPLE_AXIS)),
         )
 
-    return _sharded_render_fn(mesh, cfg, multisample)(
+    return _sharded_render_fn(mesh, cfg, multisample, _force_general)(
         scene, cam, keys, ys, xs)
 
 
@@ -252,6 +259,7 @@ def render_stokes_sharded(
     cam: Camera,
     cfg: RenderConfig,
     mesh: Mesh | None = None,
+    _force_general: bool = False,
 ):
     """Polarized (Stokes) render sharded over the ``rays`` mesh axis -- the
     multi-device form of ``render.render_stokes``, sharing its physical
@@ -266,12 +274,13 @@ def render_stokes_sharded(
         mesh = make_mesh()
     ys, xs = _sharded_pixels(mesh, cfg)
     repl = NamedSharding(mesh, P())
-    return _sharded_stokes_fn(mesh, cfg)(
+    return _sharded_stokes_fn(mesh, cfg, _force_general)(
         put_global(scene, repl), put_global(cam, repl), ys, xs)
 
 
 @functools.lru_cache(maxsize=64)
-def _sharded_stokes_fn(mesh: Mesh, cfg: RenderConfig):
+def _sharded_stokes_fn(mesh: Mesh, cfg: RenderConfig,
+                       force_general: bool = False):
     """Cached fused shard_map + gather-back assembly for the Stokes render
     (one jit, one dispatch; see _sharded_render_fn)."""
     from ..render.renderer import render_stokes, stokes_rays
@@ -279,7 +288,8 @@ def _sharded_stokes_fn(mesh: Mesh, cfg: RenderConfig):
     x0, x1, y0, y1 = cfg.crop()
     hc, wc = y1 - y0, x1 - x0
 
-    if mesh.shape[RAY_AXIS] == 1 and mesh.shape[SAMPLE_AXIS] == 1:
+    if (mesh.shape[RAY_AXIS] == 1 and mesh.shape[SAMPLE_AXIS] == 1
+            and not force_general):
         # degenerate mesh: render the grid directly (see _sharded_render_fn)
         repl0 = NamedSharding(mesh, P())
 

@@ -26,7 +26,7 @@ the default size; CI runs a reduced smoke
 (tests/test_io_cli.py::test_fit_orbit_example_smoke).
 
 Usage:
-    python examples/fit_orbit.py                    # ~2-4 min on CPU
+    python examples/fit_orbit.py                    # ~1-2 min on CPU
     python examples/fit_orbit.py --size 96 --epochs 80   # tighter fit
 """
 

@@ -93,8 +93,10 @@ def main(argv=None):
         print(f"a = {a:+.2f}: transport excess rms {rms:.2e} rad",
               flush=True)
 
-    # --- signature (a): exact zero at a = 0 (ODE vs closed form) ----------
-    assert excess_rms[0] < 2e-3, excess_rms
+    # --- signature (a): exact zero at a = 0 (ODE vs closed form);
+    # only applicable when the sweep includes a = 0
+    if args.spins[0] == 0.0:
+        assert excess_rms[0] < 2e-3, excess_rms
     # --- signature (b): monotonic growth with spin ------------------------
     assert all(hi > 1.5 * lo
                for lo, hi in zip(excess_rms[:-1], excess_rms[1:])), \

@@ -45,8 +45,14 @@ LABELS = {
     "geodesic_rays_per_s_fwd_sharded_1024x1024":
         "shard_map×Pallas 1024² `render_image_sharded`, forward "
         "(pixel parity vs unsharded asserted)",
+    "geodesic_rays_per_s_fwd_sharded_general_1024x1024":
+        "1024² sharded forward, full shard_map+deal+assembly machinery "
+        "forced on the 1×1 mesh (the multi-device path's cost, parity "
+        "asserted)",
     "geodesic_rays_per_s_fwd_sharded_4096x4096":
         "shard_map×Pallas 4096² sharded forward",
+    "geodesic_rays_per_s_fwd_sharded_general_4096x4096":
+        "4096² sharded forward, general machinery forced",
     "geodesic_rays_per_s_fwd_integrator_1048576":
         "geodesic integrator alone, 1M-ray camera fan, forward",
     "geodesic_rays_per_s_fwd_bwd_integrator_1048576":
@@ -84,9 +90,13 @@ LABELS = {
     "kerr_polarization_rays_per_s_256x256":
         "**Kerr frame-dragging Faraday map** (per-pixel transport ODE, "
         "analytic KS directional-Christoffel contraction)",
+    # architecture/precision deliberately NOT in the label -- the row's
+    # own note carries them, so the README cannot claim a configuration
+    # the checked-in measurement was not taken with
     "surrogate_kerr_rays_per_s":
-        "**learned Kerr scattering surrogate** (256×5 MLP, f32 MXU "
-        "inference; trained on-chip against the Pallas integrator)",
+        "**learned Kerr scattering surrogate** (MLP MXU inference; "
+        "trained on-chip against the Pallas integrator — arch/precision "
+        "in the artifact row's note)",
     "surrogate_kerr_rays_per_s_bf16":
         "surrogate bf16 MXU preview path",
     "surrogate_kerr_capture_acc":
